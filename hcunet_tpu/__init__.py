@@ -1,0 +1,41 @@
+"""hcunet_tpu — a TPU-native framework for confocal z-stack hair-cell analysis.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of wisamreid/HcUnet
+(`hcat`): valid-convolution 2D/3D U-Nets, recurrent variants, a detection
+head, tiled whole-cochlea inference with instance watershed, fluorescence
+analytics and tonotopic mapping — designed for TPU meshes rather than a
+single CUDA GPU.
+
+Layers (cf. SURVEY.md §1):
+    core/      shape algebra, padding, RNG plumbing
+    ops/       kernels: conv blocks, NMS, RoIAlign, EDT, watershed, morphology
+    models/    UNet, RecursiveUnet, RDCNet, detection head
+    data/      tif datasets + pure-function transforms
+    train/     losses, target generators, optax train loops
+    infer/     batched tiled inference, instance segmentation, pipeline
+    parallel/  mesh + spatial sharding + data parallel
+    analysis/  HairCell stats, cochlear spline, CSV/QA exports
+"""
+
+__version__ = "0.1.0"
+
+from hcunet_tpu.config import (
+    DetectorConfig,
+    PipelineConfig,
+    RDCNetConfig,
+    RUNetConfig,
+    TileConfig,
+    UNetConfig,
+    WatershedConfig,
+)
+
+__all__ = [
+    "DetectorConfig",
+    "PipelineConfig",
+    "RDCNetConfig",
+    "RUNetConfig",
+    "TileConfig",
+    "UNetConfig",
+    "WatershedConfig",
+    "__version__",
+]

@@ -1,0 +1,294 @@
+"""Typed configuration for the whole framework.
+
+The reference has no config system: behavior is set by module constants
+(``hcat/__init__.py:18-30``), GPU/CPU-memory-keyed tile tables buried inside
+functions (``hcat/segment.py:48-57,159-168,237-242``) and hard-coded paths.
+Here every knob is a dataclass field; the memory-keyed auto-tiling idea
+survives as :func:`auto_tile_config`, an auto-tuner over TPU HBM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+
+# ---------------------------------------------------------------------------
+# Model configs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class UNetConfig:
+    """Architecture of the valid-conv U-Net (reference ``hcat/unet.py:15-123``).
+
+    ``kernel1``/``kernel2`` mirror the reference's ``{'conv1':…, 'conv2':…}``
+    per-step kernel dicts.  ``reference_skip_bug`` reproduces the reference's
+    ``y = crop(x, y)`` behavior (``unet.py:313``) which replaces the skip
+    connection with a copy of the upsampled tensor — useful only for
+    numerical-parity tests against the PyTorch reference.
+    """
+
+    image_dimensions: int = 3
+    in_channels: int = 4
+    out_channels: int = 1
+    feature_sizes: Tuple[int, ...] = (16, 32, 64, 128)
+    kernel1: Tuple[int, ...] = (3, 3, 2)
+    kernel2: Tuple[int, ...] = (3, 3, 1)
+    upsample_kernel: Tuple[int, ...] = (8, 8, 2)
+    max_pool_kernel: Tuple[int, ...] = (2, 2, 1)
+    upsample_stride: Tuple[int, ...] = (2, 2, 1)
+    dilation: int = 1
+    groups: int = 2
+    reference_skip_bug: bool = False
+
+    def __post_init__(self):
+        if self.image_dimensions not in (2, 3):
+            raise ValueError(
+                f"does not support {self.image_dimensions} dimensional images"
+            )
+        if len(self.feature_sizes) < 2:
+            raise ValueError(
+                f"the number of features must be at least 2, "
+                f"not {len(self.feature_sizes)}"
+            )
+        for a, b in zip(self.feature_sizes[:-1], self.feature_sizes[1:]):
+            if a * 2 != b:
+                raise ValueError(
+                    f"feature sizes must be multiples of two from each other: "
+                    f"{a}*2 != {b}"
+                )
+
+    @classmethod
+    def production_3d(cls) -> "UNetConfig":
+        """The shipped inference architecture (``hcat/main.py:46-55``)."""
+        return cls()
+
+    @classmethod
+    def readme_2d(cls) -> "UNetConfig":
+        """The README quickstart config (``README.md:12-22``) — 2D.
+
+        Note the reference cannot actually instantiate this (its ``Up``
+        rejects ``ConvTranspose2d``); we support it.
+        """
+        return cls(
+            image_dimensions=2,
+            in_channels=4,
+            out_channels=1,
+            feature_sizes=(8, 16, 32, 64, 128),
+            kernel1=(3, 3),
+            kernel2=(3, 3),
+            upsample_kernel=(2, 2),
+            max_pool_kernel=(2, 2),
+            upsample_stride=(2, 2),
+            dilation=1,
+            groups=1,
+        )
+
+    def shape_kwargs(self) -> Dict:
+        """kwargs for :func:`hcunet_tpu.core.shapes.unet_output_shape`."""
+        return dict(
+            n_levels=len(self.feature_sizes),
+            kernel1=self.kernel1,
+            kernel2=self.kernel2,
+            pool=self.max_pool_kernel,
+            up_kernel=self.upsample_kernel,
+            up_stride=self.upsample_stride,
+        )
+
+
+@dataclass(frozen=True)
+class RUNetConfig:
+    """RecursiveUnet (``hcat/r_unet.py:38-160``): GRU-style recurrence over a
+    2-level same-padding U-Net, fixed timesteps."""
+
+    in_channels: int = 4
+    out_channels: int = 5
+    channels: Tuple[int, int, int] = (16, 32, 64)
+    kernel: Tuple[int, int, int] = (3, 3, 3)
+    upsample_kernel: Tuple[int, int, int] = (6, 6, 5)
+    max_pool_kernel: Tuple[int, int, int] = (2, 2, 1)
+    upsample_stride: Tuple[int, int, int] = (2, 2, 1)
+    timesteps: int = 10
+
+
+@dataclass(frozen=True)
+class RDCNetConfig:
+    """RDCNet (``hcat/r_unet.py:207-227``)."""
+
+    in_channels: int = 4
+    out_channels: int = 5
+    complexity: int = 10
+    timesteps: int = 10
+
+
+@dataclass(frozen=True)
+class DetectorConfig:
+    """Faster R-CNN style detector (``hcat/rcnn.py:7-21`` contract)."""
+
+    num_classes: int = 3
+    max_detections: int = 500
+    min_size: int = 256
+    anchor_sizes: Tuple[int, ...] = (32, 64, 128, 256, 512)
+    anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    rpn_pre_nms_top_n: int = 1000
+    rpn_post_nms_top_n: int = 512
+    rpn_nms_thresh: float = 0.7
+    box_score_thresh: float = 0.05
+    box_nms_thresh: float = 0.5
+    roi_align_output: int = 7
+
+
+# ---------------------------------------------------------------------------
+# Inference / post-processing configs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TileConfig:
+    """Tiled inference geometry.
+
+    ``eval_size`` is the trusted output core per tile; ``pad`` the halo added
+    on every face.  ``batch`` is how many tiles are evaluated per device step
+    (the reference always uses 1 — ``hcat/segment.py:83-99``)."""
+
+    eval_size: Tuple[int, ...] = (300, 300, 10)
+    pad: Tuple[int, ...] = (128, 128, 10)
+    batch: int = 4
+    reference_exact_grid: bool = False
+
+
+@dataclass(frozen=True)
+class WatershedConfig:
+    """Instance segmentation constants (``hcat/__init__.py:18-30``)."""
+
+    connectivity: int = 1
+    compactness: float = 0.01
+    expand_mask: int = 15
+    expand_z: int = 5
+    z_tolerance: int = 2
+    mask_prob_threshold: float = 0.5
+    cell_prob_threshold: float = 0.25
+    seed_background_below: float = 0.15
+    distance_floor: float = 0.2
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """End-to-end ``analyze`` settings (``hcat/main.py:20-236``)."""
+
+    numchunks: int = 3
+    gaussian_sigma: float = 3.0
+    prob_floor: float = 0.25
+    prob_scale: float = 10.0
+    normalize_mean: Tuple[float, ...] = (0.5, 0.5, 0.5, 0.5)
+    normalize_std: Tuple[float, ...] = (0.5, 0.5, 0.5, 0.5)
+    detection_channels: Tuple[int, ...] = (0, 2, 3)
+    unet: UNetConfig = field(default_factory=UNetConfig.production_3d)
+    tiles: TileConfig = field(default_factory=TileConfig)
+    watershed: WatershedConfig = field(default_factory=WatershedConfig)
+    detector: DetectorConfig = field(default_factory=DetectorConfig)
+
+
+# ---------------------------------------------------------------------------
+# HBM auto-tuner (successor of the reference's GPU-memory tile tables)
+# ---------------------------------------------------------------------------
+
+
+def device_hbm_bytes() -> Optional[int]:
+    """Total HBM of device 0, or None off-accelerator."""
+    import jax
+
+    try:
+        d = jax.devices()[0]
+        stats = d.memory_stats()
+        if stats and "bytes_limit" in stats:
+            return int(stats["bytes_limit"])
+    except Exception:
+        pass
+    return None
+
+
+def auto_tile_config(
+    unet: UNetConfig,
+    hbm_bytes: Optional[int] = None,
+    z_extent: int = 15,
+) -> TileConfig:
+    """Pick tile geometry from available HBM.
+
+    Replaces the reference's hand lookup tables keyed on
+    {4,6,8,11} GB GPUs (``hcat/segment.py:48-57``): estimate the activation
+    footprint of one tile and choose the largest MXU-friendly tile plus batch
+    that fits in a conservative fraction of HBM.
+    """
+    if hbm_bytes is None:
+        hbm_bytes = device_hbm_bytes() or 16 * 2**30
+    budget = int(hbm_bytes * 0.6)
+
+    candidates = [128, 192, 256, 320, 384, 448, 512]
+    best = TileConfig(eval_size=(128, 128, min(6, z_extent)), pad=(128, 128, 10))
+    for side in candidates:
+        # activation bytes per tile ≈ sum of level footprints; first level
+        # dominates: (side+2*pad)^2 * z * C1 * 4 bytes * ~3 tensors alive.
+        pad = 64
+        tz = min(z_extent, 15)
+        in_side = side + 2 * pad
+        c1 = unet.feature_sizes[0]
+        per_tile = in_side * in_side * (tz + 20) * c1 * 4 * 3
+        batch = max(1, budget // max(per_tile, 1))
+        if per_tile <= budget:
+            best = TileConfig(
+                eval_size=(side, side, tz),
+                pad=(pad, pad, 10),
+                batch=int(min(batch, 8)),
+            )
+    return best
+
+
+# ---------------------------------------------------------------------------
+# (De)serialization — configs are persisted inside checkpoints, mirroring the
+# reference's model_specification dict (``hcat/unet.py:76-88``).
+# ---------------------------------------------------------------------------
+
+_CONFIG_TYPES = {
+    "UNetConfig": UNetConfig,
+    "RUNetConfig": RUNetConfig,
+    "RDCNetConfig": RDCNetConfig,
+    "DetectorConfig": DetectorConfig,
+    "TileConfig": TileConfig,
+    "WatershedConfig": WatershedConfig,
+    "PipelineConfig": PipelineConfig,
+}
+
+
+def config_to_dict(cfg) -> Dict:
+    d = dataclasses.asdict(cfg)
+    d["__type__"] = type(cfg).__name__
+    return d
+
+
+def _rebuild(cls, d: Dict):
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        if isinstance(v, dict):
+            sub = _CONFIG_TYPES.get(v.get("__type__", f.type.replace('"', "")))
+            if sub is None and f.type in _CONFIG_TYPES:
+                sub = _CONFIG_TYPES[f.type]
+            if sub is not None:
+                v = _rebuild(sub, v)
+        elif isinstance(v, list):
+            v = tuple(v)
+        kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+def config_from_dict(d: Dict):
+    if "__type__" not in d:
+        raise ValueError("missing __type__ tag")
+    d = json.loads(json.dumps(d))  # deep copy; tuples become lists, fixed below
+    return _rebuild(_CONFIG_TYPES[d["__type__"]], d)
