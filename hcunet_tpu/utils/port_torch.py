@@ -1,0 +1,141 @@
+"""Port PyTorch reference checkpoints into hcunet_tpu variables.
+
+The reference ships ``.unet``/``.runet`` files that are ``torch.save`` dicts
+with a ``state_dict`` (``hcat/unet.py:145-196``).  These helpers map that
+state_dict — or any live torch module's — onto our flax variable trees so
+that (a) trained reference checkpoints can be served by this framework and
+(b) the test suite can assert numerical parity on identical weights
+(BASELINE.md config #4; the stripped-checkpoint caveat of SURVEY.md §0 means
+parity is proven on identically-seeded weights instead).
+
+Layout conventions:
+* torch ``Conv{2,3}d.weight``  [Cout, Cin/g, *k]  →  ours [*k, Cin/g, Cout]
+* torch ``ConvTranspose.weight`` [Cin, Cout, *k]  →  ours [*k, Cin, Cout]
+* BatchNorm weight/bias/running_mean/running_var → scale/bias/mean/var
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import numpy as np
+
+from hcunet_tpu.config import UNetConfig
+
+
+def _np(t) -> np.ndarray:
+    try:  # torch tensor
+        return t.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(t)
+
+
+def conv_weight_to_jax(w) -> np.ndarray:
+    """[Cout, Cin/g, *k] -> [*k, Cin/g, Cout]."""
+    w = _np(w)
+    nd = w.ndim - 2
+    return np.transpose(w, tuple(range(2, 2 + nd)) + (1, 0))
+
+
+def conv_transpose_weight_to_jax(w) -> np.ndarray:
+    """[Cin, Cout, *k] -> [*k, Cin, Cout]."""
+    w = _np(w)
+    nd = w.ndim - 2
+    return np.transpose(w, tuple(range(2, 2 + nd)) + (0, 1))
+
+
+def _convbnrelu(sd: Mapping, conv: str, bn: str) -> tuple[Dict, Dict]:
+    params = {
+        "kernel": conv_weight_to_jax(sd[f"{conv}.weight"]),
+        "bias": _np(sd[f"{conv}.bias"]),
+        "BatchNorm_0": {
+            "scale": _np(sd[f"{bn}.weight"]),
+            "bias": _np(sd[f"{bn}.bias"]),
+        },
+    }
+    stats = {
+        "BatchNorm_0": {
+            "mean": _np(sd[f"{bn}.running_mean"]),
+            "var": _np(sd[f"{bn}.running_var"]),
+        }
+    }
+    return params, stats
+
+
+def unet_variables_from_torch_state_dict(
+    sd: Mapping, config: UNetConfig
+) -> Dict:
+    """Build the flax variable tree for :class:`hcunet_tpu.models.unet.UNet`
+    from a reference ``Unet_Constructor`` state_dict."""
+    n = len(config.feature_sizes)
+    params: Dict = {}
+    stats: Dict = {}
+    for i in range(n):
+        block_p: Dict = {}
+        block_s: Dict = {}
+        for j, (conv, bn) in enumerate(
+            [("conv1", "batch1"), ("conv2", "batch2")]
+        ):
+            p, s = _convbnrelu(sd, f"down_steps.{i}.{conv}", f"down_steps.{i}.{bn}")
+            block_p[f"ConvBNRelu_{j}"] = p
+            block_s[f"ConvBNRelu_{j}"] = s
+        params[f"down{i}"] = block_p
+        stats[f"down{i}"] = block_s
+    for i in range(n - 1):
+        block_p = {
+            "up_kernel": conv_transpose_weight_to_jax(sd[f"up_steps.{i}.up_conv.weight"]),
+            "up_bias": _np(sd[f"up_steps.{i}.up_conv.bias"]),
+        }
+        block_s = {}
+        for j, (conv, bn) in enumerate(
+            [("conv1", "batch1"), ("conv2", "batch2")]
+        ):
+            p, s = _convbnrelu(sd, f"up_steps.{i}.{conv}", f"up_steps.{i}.{bn}")
+            block_p[f"ConvBNRelu_{j}"] = p
+            block_s[f"ConvBNRelu_{j}"] = s
+        params[f"up{i}"] = block_p
+        stats[f"up{i}"] = block_s
+    params["out_kernel"] = conv_weight_to_jax(sd["out_conv.weight"])
+    params["out_bias"] = _np(sd["out_conv.bias"])
+    return {"params": params, "batch_stats": stats}
+
+
+def load_reference_unet_file(path: str):
+    """Load a reference ``.unet`` checkpoint file → (UNetConfig, variables).
+
+    Accepts the torch.save dict layout of ``hcat/unet.py:145-165``:
+    ``{'state_dict', 'model_specifications', 'hyperparameters', ...}``.
+    """
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    spec = blob["model_specifications"]
+    kernel = spec["kernel"]
+    if isinstance(kernel, dict):
+        k1, k2 = tuple(kernel["conv1"]), tuple(kernel["conv2"])
+    else:
+        k1 = k2 = tuple(kernel)
+    dil = spec["dilation"]
+    if isinstance(dil, dict):
+        dil = dil["conv1"]
+    grp = spec["groups"]
+    if isinstance(grp, dict):
+        grp = grp["conv1"]
+    up_stride = spec["upsample_stride"]
+    if isinstance(up_stride, int):
+        up_stride = (up_stride,) * spec["image_dimensions"]
+    cfg = UNetConfig(
+        image_dimensions=spec["image_dimensions"],
+        in_channels=spec["in_channels"],
+        out_channels=spec["out_channels"],
+        feature_sizes=tuple(spec["feature_sizes"]),
+        kernel1=k1,
+        kernel2=k2,
+        upsample_kernel=tuple(spec["upsample_kernel"]),
+        max_pool_kernel=tuple(spec["max_pool_kernel"]),
+        upsample_stride=tuple(up_stride),
+        dilation=dil if isinstance(dil, int) else 1,
+        groups=grp if isinstance(grp, int) else 1,
+    )
+    variables = unet_variables_from_torch_state_dict(blob["state_dict"], cfg)
+    return cfg, variables

@@ -1,0 +1,128 @@
+"""Numerical parity vs the PyTorch reference on identical weights.
+
+BASELINE.md's fidelity gate (config #4) can't use the stripped ``.runet``
+checkpoints, so parity is proven on identically-seeded weights: build the
+reference torch model, port its state_dict with
+``hcunet_tpu.utils.port_torch``, and compare forward outputs.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+from hcunet_tpu.config import UNetConfig
+from hcunet_tpu.models.unet import UNet
+from hcunet_tpu.utils.port_torch import (
+    conv_transpose_weight_to_jax,
+    conv_weight_to_jax,
+    unet_variables_from_torch_state_dict,
+)
+from tests.reference_loader import reference_unet_module
+
+
+def to_channels_last(x: torch.Tensor) -> np.ndarray:
+    """[B, C, *spatial] -> [B, *spatial, C]."""
+    nd = x.ndim
+    return np.ascontiguousarray(
+        np.transpose(x.numpy(), (0,) + tuple(range(2, nd)) + (1,))
+    )
+
+
+def test_conv_valid_matches_torch():
+    from hcunet_tpu.ops.conv import conv_valid
+
+    torch.manual_seed(0)
+    conv = torch.nn.Conv3d(4, 8, (3, 3, 2), groups=2, padding=0)
+    x = torch.randn(2, 4, 12, 13, 7)
+    want = conv(x).detach()
+    got = conv_valid(
+        to_channels_last(x),
+        conv_weight_to_jax(conv.weight),
+        conv.bias.detach().numpy(),
+        groups=2,
+    )
+    np.testing.assert_allclose(np.asarray(got), to_channels_last(want), atol=2e-5)
+
+
+def test_conv_transpose_matches_torch():
+    from hcunet_tpu.ops.conv import conv_transpose_torch
+
+    torch.manual_seed(0)
+    tc = torch.nn.ConvTranspose3d(6, 3, (8, 8, 2), stride=(2, 2, 1))
+    x = torch.randn(1, 6, 9, 9, 5)
+    want = tc(x).detach()
+    got = conv_transpose_torch(
+        to_channels_last(x),
+        conv_transpose_weight_to_jax(tc.weight),
+        tc.bias.detach().numpy(),
+        stride=(2, 2, 1),
+    )
+    np.testing.assert_allclose(np.asarray(got), to_channels_last(want), atol=2e-5)
+
+
+def test_conv_transpose_padding_matches_torch():
+    from hcunet_tpu.ops.conv import conv_transpose_torch
+
+    torch.manual_seed(1)
+    tc = torch.nn.ConvTranspose3d(4, 2, (6, 6, 5), stride=(2, 2, 1), padding=2)
+    x = torch.randn(1, 4, 7, 7, 5)
+    want = tc(x).detach()
+    got = conv_transpose_torch(
+        to_channels_last(x),
+        conv_transpose_weight_to_jax(tc.weight),
+        tc.bias.detach().numpy(),
+        stride=(2, 2, 1),
+        padding=2,
+    )
+    np.testing.assert_allclose(np.asarray(got), to_channels_last(want), atol=2e-5)
+
+
+@pytest.fixture(scope="module")
+def reference_pair():
+    """Reference production-3D torch model + ported jax variables."""
+    U = reference_unet_module()
+    torch.manual_seed(42)
+    net = U.Unet_Constructor(
+        image_dimensions=3,
+        in_channels=4,
+        out_channels=1,
+        feature_sizes=[16, 32, 64, 128],
+        kernel={"conv1": (3, 3, 2), "conv2": (3, 3, 1)},
+        upsample_kernel=(8, 8, 2),
+        max_pool_kernel=(2, 2, 1),
+        upsample_stride=(2, 2, 1),
+        dilation=1,
+        groups=2,
+    )
+    net.eval()
+    cfg = UNetConfig(reference_skip_bug=True)
+    variables = unet_variables_from_torch_state_dict(net.state_dict(), cfg)
+    return net, cfg, variables
+
+
+def test_unet_forward_parity_with_reference(reference_pair):
+    net, cfg, variables = reference_pair
+    torch.manual_seed(7)
+    x = torch.randn(1, 4, 100, 100, 9)
+    with torch.no_grad():
+        want = net(x)
+    model = UNet(cfg)
+    got = model.apply(variables, to_channels_last(x), train=False)
+    np.testing.assert_allclose(
+        np.asarray(got), to_channels_last(want), atol=5e-4, rtol=1e-4
+    )
+
+
+def test_unet_fixed_skips_differ_from_reference(reference_pair):
+    """Sanity: with real skip connections the output must differ — proving
+    the compat flag actually toggles the documented reference bug."""
+    net, cfg, variables = reference_pair
+    torch.manual_seed(7)
+    x = torch.randn(1, 4, 100, 100, 9)
+    with torch.no_grad():
+        want = to_channels_last(net(x))
+    fixed_cfg = UNetConfig(reference_skip_bug=False)
+    model = UNet(fixed_cfg)
+    got = np.asarray(model.apply(variables, to_channels_last(x), train=False))
+    assert got.shape == want.shape
+    assert np.abs(got - want).max() > 1e-3
