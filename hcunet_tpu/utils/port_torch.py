@@ -100,6 +100,79 @@ def unet_variables_from_torch_state_dict(
     return {"params": params, "batch_stats": stats}
 
 
+def _same_convbn(sd: Mapping, conv: str, bn: str) -> tuple[Dict, Dict]:
+    """SameConvBNRelu params/stats from a torch conv+bn pair."""
+    return _convbnrelu(sd, conv, bn)
+
+
+def _rup(sd: Mapping, prefix: str) -> tuple[Dict, Dict]:
+    p0, s0 = _same_convbn(sd, f"{prefix}.conv1", f"{prefix}.batch1")
+    p1, s1 = _same_convbn(sd, f"{prefix}.conv2", f"{prefix}.batch2")
+    params = {
+        "up_kernel": conv_transpose_weight_to_jax(sd[f"{prefix}.up_conv.weight"]),
+        "up_bias": _np(sd[f"{prefix}.up_conv.bias"]),
+        "SameConvBNRelu_0": p0,
+        "SameConvBNRelu_1": p1,
+    }
+    stats = {"SameConvBNRelu_0": s0, "SameConvBNRelu_1": s1}
+    return params, stats
+
+
+def _rdown(sd: Mapping, prefix: str) -> tuple[Dict, Dict]:
+    p0, s0 = _same_convbn(sd, f"{prefix}.conv1", f"{prefix}.batch1")
+    p1, s1 = _same_convbn(sd, f"{prefix}.conv2", f"{prefix}.batch2")
+    return (
+        {"SameConvBNRelu_0": p0, "SameConvBNRelu_1": p1},
+        {"SameConvBNRelu_0": s0, "SameConvBNRelu_1": s1},
+    )
+
+
+def runet_variables_from_torch_state_dict(sd: Mapping) -> Dict:
+    """Port a reference ``RecursiveUnet`` state_dict
+    (``hcat/r_unet.py:38-160``) onto
+    :class:`hcunet_tpu.models.runet.RecursiveUNet` variables."""
+    params: Dict = {}
+    stats: Dict = {}
+    params["down1"], stats["down1"] = _rdown(sd, "down1")
+    for gate in ("fz", "fh"):
+        pa, sa = _rdown(sd, f"down2_{gate}")
+        pb, sb = _rdown(sd, f"down3_{gate}")
+        pu, su = _rup(sd, f"up1_{gate}")
+        params[gate] = {"down_a": pa, "down_b": pb, "up": pu}
+        stats[gate] = {"down_a": sa, "down_b": sb, "up": su}
+    params["up2"], stats["up2"] = _rup(sd, "up2")
+    params["out_kernel"] = conv_weight_to_jax(sd["out_conv.weight"])
+    params["out_bias"] = _np(sd["out_conv.bias"])
+    return {"params": params, "batch_stats": stats}
+
+
+def rdcnet_variables_from_torch_state_dict(sd: Mapping) -> Dict:
+    """Port a reference ``RDCNet`` state_dict (``hcat/r_unet.py:207-227``)
+    onto :class:`hcunet_tpu.models.rdcnet.RDCNet` variables."""
+    sdil = {}
+    for d in range(1, 6):
+        sdil[f"conv{d}_kernel"] = conv_weight_to_jax(
+            sd[f"RDCblock.grouped_conv.conv{d}.weight"]
+        )
+        sdil[f"conv{d}_bias"] = _np(sd[f"RDCblock.grouped_conv.conv{d}.bias"])
+    sdil["merge_kernel"] = conv_weight_to_jax(sd["RDCblock.grouped_conv.out_conv.weight"])
+    sdil["merge_bias"] = _np(sd["RDCblock.grouped_conv.out_conv.bias"])
+    params = {
+        "in_kernel": conv_weight_to_jax(sd["strided_conv.weight"]),
+        "in_bias": _np(sd["strided_conv.bias"]),
+        "rdc_block": {
+            "squeeze_kernel": conv_weight_to_jax(sd["RDCblock.conv.weight"]),
+            "squeeze_bias": _np(sd["RDCblock.conv.bias"]),
+            "StackedDilation_0": sdil,
+        },
+        "out_kernel": conv_weight_to_jax(sd["out_conv.weight"]),
+        "out_bias": _np(sd["out_conv.bias"]),
+        "up_kernel": conv_transpose_weight_to_jax(sd["transposed_conv.weight"]),
+        "up_bias": _np(sd["transposed_conv.bias"]),
+    }
+    return {"params": params}
+
+
 def load_reference_unet_file(path: str):
     """Load a reference ``.unet`` checkpoint file → (UNetConfig, variables).
 
