@@ -57,7 +57,6 @@ def _check_geometry(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "apply_fn",
         "eval_size",
         "pad",
         "batch",
@@ -67,8 +66,8 @@ def _check_geometry(
     ),
 )
 def _tiled_forward(
-    apply_fn,
-    padded: jnp.ndarray,
+    apply_fn,  # a jax.tree_util.Partial — params ride along as traced leaves
+    image: jnp.ndarray,
     *,
     eval_size: Tuple[int, ...],
     pad: Tuple[int, ...],
@@ -77,10 +76,26 @@ def _tiled_forward(
     use_probability_map: bool,
     threshold: float,
 ):
-    """Evaluate the regular tile grid over a padded volume.
+    """Scrub, pad, and evaluate the regular tile grid — one fused program.
 
-    ``padded``: [1, PX, PY, PZ, C].  Returns [1, nx*ex, ny*ey, nz*ez, Cout].
+    ``image``: [1, X, Y, Z, C] (donated).  Returns the trimmed
+    [1, X, Y, Z, Cout] result.  Everything lives in a single jit so a call
+    costs one dispatch — important on remote-attached TPUs where each eager
+    op pays a host round-trip.
     """
+    spatial = image.shape[1:-1]
+
+    # nan/inf scrub (segment.py:66-67)
+    image = jnp.nan_to_num(image, nan=0.0, posinf=1.0, neginf=0.0)
+
+    # halo by reflection (like the reference), then right-pad the ragged
+    # grid overhang with edge replication — the overhang only feeds halo
+    # regions that get cropped or trimmed anyway.
+    padded = reflection_pad(image, pad)
+    overhang = [n * e - s for n, e, s in zip(n_tiles, eval_size, spatial)]
+    widths = [(0, 0)] + [(0, int(o)) for o in overhang] + [(0, 0)]
+    padded = jnp.pad(padded, widths, mode="edge")
+
     tile_in = tuple(e + 2 * p for e, p in zip(eval_size, pad))
     nx, ny, nz = n_tiles
     n = nx * ny * nz
@@ -135,7 +150,8 @@ def _tiled_forward(
     full = outs.reshape(
         1, nx * eval_size[0], ny * eval_size[1], nz * eval_size[2], c_out
     )
-    return full
+    # trim grid-rounding overhang back to the true volume
+    return full[:, : spatial[0], : spatial[1], : spatial[2], :]
 
 
 def predict_segmentation_mask(
@@ -165,9 +181,12 @@ def predict_segmentation_mask(
         min(e, s) for e, s in zip(tile_cfg.eval_size, spatial)
     )
     pad = tuple(tile_cfg.pad)
-
-    # nan/inf scrub (segment.py:66-67)
-    image = jnp.nan_to_num(image, nan=0.0, posinf=1.0, neginf=0.0)
+    for p, s in zip(pad, spatial):
+        if p > s:
+            raise ValueError(
+                f"reflection pad {p} exceeds axis size {s}; "
+                f"reduce tile pad or eval size"
+            )
 
     _check_geometry(
         tuple(e + 2 * p for e, p in zip(eval_size, pad)), eval_size, pad, unet_cfg
@@ -175,17 +194,9 @@ def predict_segmentation_mask(
 
     n_tiles = tuple(-(-s // e) for s, e in zip(spatial, eval_size))
 
-    # halo by reflection (like the reference), then right-pad the ragged
-    # grid overhang with edge replication — the overhang only feeds halo
-    # regions that get cropped or trimmed anyway.
-    padded = reflection_pad(image, pad)
-    overhang = [n * e - s for n, e, s in zip(n_tiles, eval_size, spatial)]
-    widths = [(0, 0)] + [(0, int(o)) for o in overhang] + [(0, 0)]
-    padded = jnp.pad(padded, widths, mode="edge")
-
-    full = _tiled_forward(
+    return _tiled_forward(
         apply_fn,
-        padded,
+        image,
         eval_size=eval_size,
         pad=pad,
         batch=int(tile_cfg.batch),
@@ -193,8 +204,6 @@ def predict_segmentation_mask(
         use_probability_map=bool(use_probability_map),
         threshold=float(mask_cell_prob_threshold),
     )
-    # trim grid-rounding overhang back to the true volume
-    return full[:, : spatial[0], : spatial[1], : spatial[2], :]
 
 
 def reference_tile_windows(

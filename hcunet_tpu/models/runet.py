@@ -56,8 +56,8 @@ class SameConvBNRelu(nn.Module):
         b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         x = conv_same(x.astype(self.dtype), w.astype(self.dtype), b, padding=self.padding)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=jnp.float32
-        )(x)
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype
+        )(x.astype(self.dtype))
         return nn.relu(x).astype(self.dtype)
 
 

@@ -80,8 +80,8 @@ class ConvBNRelu(nn.Module):
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
-            dtype=jnp.float32,
-        )(x)
+            dtype=self.dtype,
+        )(x.astype(self.dtype))
         return nn.relu(x).astype(self.dtype)
 
 

@@ -1,0 +1,183 @@
+"""Instance segmentation + domain analytics tests on synthetic volumes."""
+
+import numpy as np
+import pytest
+
+from hcunet_tpu.analysis.cochlea import get_cochlear_length, skeletonize
+from hcunet_tpu.analysis.export import cells_to_csv, mask_to_lines, render_size
+from hcunet_tpu.analysis.haircell import HairCell, generate_cell_objects
+from hcunet_tpu.config import WatershedConfig
+from hcunet_tpu.infer.candidates import empty_candidates, merge_cell_candidates
+from hcunet_tpu.infer.chunks import Part, reconstruct_mask, reconstruct_segmented
+from hcunet_tpu.infer.instance import generate_unique_segmentation_mask
+
+
+def _blob_volume():
+    """[60, 60, 8] prob map with two gaussian-ish cells."""
+    X, Y, Z = 60, 60, 8
+    xx, yy, zz = np.meshgrid(
+        np.arange(X), np.arange(Y), np.arange(Z), indexing="ij"
+    )
+    c1 = np.exp(-(((xx - 18) ** 2 + (yy - 20) ** 2) / 60 + (zz - 4) ** 2 / 8))
+    c2 = np.exp(-(((xx - 42) ** 2 + (yy - 40) ** 2) / 60 + (zz - 4) ** 2 / 8))
+    prob = np.maximum(c1, c2).astype(np.float32)
+    # the pipeline feeds (blur, floor 0.25, x10) maps — emulate the x10
+    prob = prob * 10.0
+    cands = {
+        "boxes": np.array([[8, 10, 28, 30], [32, 30, 52, 50]], np.float32),
+        "scores": np.array([0.97, 0.99], np.float32),
+        "labels": np.array([1, 1], np.int32),
+        "z_level": np.array([4.0, 4.0], np.float32),
+    }
+    return prob, cands
+
+
+def test_instance_segmentation_two_cells():
+    prob, cands = _blob_volume()
+    cfg = WatershedConfig(expand_mask=3)
+    unique, seed = generate_unique_segmentation_mask(
+        prob, cands, cfg, host_ram_bytes=32 * 2**30
+    )
+    ids = set(np.unique(unique)) - {0}
+    assert len(ids) == 2, f"expected 2 cells, got {ids}"
+    # each blob center belongs to a distinct label
+    l1, l2 = unique[18, 20, 4], unique[42, 40, 4]
+    assert l1 != 0 and l2 != 0 and l1 != l2
+    assert seed.max() >= 2
+
+
+def test_instance_no_candidates_returns_empty():
+    prob, _ = _blob_volume()
+    unique, seed = generate_unique_segmentation_mask(
+        prob, empty_candidates(), WatershedConfig()
+    )
+    assert unique.sum() == 0 and seed.sum() == 0
+
+
+def test_merge_cell_candidates_offsets_and_dedupes():
+    a = {
+        "boxes": np.array([[0, 0, 10, 10]], np.float32),
+        "scores": np.array([0.9], np.float32),
+        "labels": np.array([1], np.int32),
+        "z_level": np.array([0.0], np.float32),
+    }
+    b = {
+        "boxes": np.array([[0, 0, 10, 10], [30, 30, 40, 40]], np.float32),
+        "scores": np.array([0.8, 0.7], np.float32),
+        "labels": np.array([1, 2], np.int32),
+        "z_level": np.array([1.0, 1.0], np.float32),
+    }
+    # identical region (offset 0) should dedupe to the higher score
+    merged = merge_cell_candidates(dict(a), dict(b), initial_coords=(0, 0))
+    assert len(merged["scores"]) == 2
+    assert merged["scores"].max() == np.float32(0.9)
+    # with an offset there is no overlap: all three survive
+    merged2 = merge_cell_candidates(dict(a), dict(b), initial_coords=(100, 0))
+    assert len(merged2["scores"]) == 3
+    assert merged2["boxes"][:, 0].max() >= 100
+
+
+def test_part_roundtrip_and_reconstruct(tmp_path):
+    m1 = np.zeros((8, 10, 3), np.float32)
+    s1 = np.zeros((8, 10, 3), np.int32)
+    s1[2:4, 2:4, :] = 1
+    m1[2:4, 2:4, :] = 0.9
+    m2 = np.zeros((8, 10, 3), np.float32)
+    s2 = np.zeros((8, 10, 3), np.int32)
+    s2[1:3, 1:3, :] = 1
+    Part.create(m1, s1, (0, 0)).save(str(tmp_path / "a.maskpart.npz"))
+    Part.create(m2, s2, (8, 0)).save(str(tmp_path / "b.maskpart.npz"))
+
+    full = reconstruct_mask(str(tmp_path))
+    assert full.shape == (16, 10, 3)
+    assert full[2, 2, 0] == np.float32(0.9)
+
+    seg = reconstruct_segmented(str(tmp_path))
+    ids = set(np.unique(seg)) - {0}
+    assert len(ids) == 2  # renumbered across chunks
+
+
+def test_part_null_compression(tmp_path):
+    empty = Part.create(np.zeros((4, 4, 2), np.uint8), np.zeros((4, 4, 2), np.int32), (0, 0))
+    assert empty.mask is None and empty.segmented_mask is None
+    p = str(tmp_path / "e.maskpart.npz")
+    empty.save(p)
+    back = Part.load(p)
+    assert back.dense_mask().shape == (4, 4, 2)
+
+
+def test_haircell_stats_and_frequency(rng):
+    img = rng.random((6, 6, 4, 4)).astype(np.float32)
+    mask = np.zeros((6, 6, 4), bool)
+    mask[2:5, 2:5, 1:3] = True
+    cell = HairCell.from_crop([0, 0, 0, 6, 6, 4], [3, 3, 2], img, mask, id=7)
+    assert not cell.is_bad
+    assert cell.volume > 0
+    assert set(cell.signal_stats) == {"dapi", "gfp", "myo7a", "actin"}
+    np.testing.assert_allclose(
+        cell.gfp_stats["mean"], img[..., 1][mask].mean(), rtol=1e-6
+    )
+    curve = np.stack([np.linspace(0, 100, 50), np.linspace(0, 100, 50)])
+    cell.set_frequency(curve, np.linspace(0, 1, 50))
+    assert 0 <= cell.distance_from_apex <= 1
+
+    tiny = HairCell.from_crop([0, 0, 0, 1, 1, 1], [0, 0, 0],
+                              img[:1, :1, :1], np.zeros((1, 1, 1)), id=1)
+    assert tiny.is_bad and np.isnan(tiny.gfp_stats["mean"])
+
+
+def test_generate_cell_objects(rng):
+    labels = np.zeros((20, 20, 4), np.int32)
+    labels[2:8, 2:8, 1:3] = 1
+    labels[12:18, 12:18, 1:3] = 5
+    img = rng.random((20, 20, 4, 4)).astype(np.float32)
+    cells = generate_cell_objects(img, labels, x_ind_chunk=100, y_ind_chunk=0)
+    assert len(cells) == 2
+    assert cells[0].center[0] > 100  # chunk offset applied
+
+
+def test_exports(tmp_path, rng):
+    labels = np.zeros((30, 30, 3), np.int32)
+    labels[5:10, 5:10, :] = 1  # 75 voxels -> "too small"
+    img = rng.random((30, 30, 3, 4)).astype(np.float32)
+    cells = generate_cell_objects(img, labels)
+    for c in cells:
+        c.distance_from_apex = 0.5
+    csv_path = str(tmp_path / "cells.csv")
+    cells_to_csv(cells, csv_path)
+    assert "mean_gfp" in open(csv_path).read()
+
+    classes = render_size(labels, out_path=str(tmp_path / "size.tif"))
+    assert set(np.unique(classes)) <= {0, 1, 2, 3}
+
+    lines = mask_to_lines(labels)
+    assert lines.any() and lines.sum() < (labels > 0).sum()
+
+
+def test_skeletonize_thin_line():
+    img = np.zeros((30, 30), bool)
+    img[10:13, 5:25] = True  # 3-wide bar
+    sk = skeletonize(img)
+    assert sk.sum() <= 25 and sk.sum() >= 15  # ~1px wide
+
+
+def test_cochlear_length_on_synthetic_spiral():
+    # draw a thick spiral r = 20 + 8θ on a 1000x1000 grid
+    t = np.linspace(0, 3.5 * np.pi, 4000)
+    r = 120 + 38 * t
+    cx = 500 + r * np.cos(t)
+    cy = 500 + r * np.sin(t)
+    img = np.zeros((1000, 1000), np.float64)
+    for dx in range(-55, 56, 3):
+        for dy in range(-55, 56, 3):
+            xs = np.clip(cx + dx, 0, 999).astype(int)
+            ys = np.clip(cy + dy, 0, 999).astype(int)
+            img[xs, ys] = 1.0
+    curve, pct, apex = get_cochlear_length(img, equal_spaced_distance=2)
+    assert curve.shape[0] == 2 and curve.shape[1] > 10
+    assert pct.min() >= 0 and pct.max() <= 1
+    assert len(pct) == curve.shape[1]
+    # curve length should be in the ballpark of the drawn spiral length
+    seg = np.sqrt(np.diff(curve[0]) ** 2 + np.diff(curve[1]) ** 2)
+    drawn = np.sum(np.sqrt(np.diff(cx) ** 2 + np.diff(cy) ** 2))
+    assert 0.3 * drawn < seg.sum() < 2.0 * drawn
