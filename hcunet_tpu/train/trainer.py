@@ -1,0 +1,213 @@
+"""Training engines.
+
+The reference shipped no U-Net training loop (it lived in stripped
+notebooks — SURVEY.md §0); the recipe survives in its losses, dataloaders
+and the RDCNet loop in ``tests/r_unet_test.py:19-57``.  This module provides
+the actual engines:
+
+* :class:`UNetTrainer` — U-Net (or any flax model with the same variable
+  collections) on Stack-style ``(image, mask, pwl)`` samples with the
+  pwl-weighted BCE (+ optional dice), Adam, jitted steps, metrics logging
+  and checkpointing.
+* :class:`RecurrentTrainer` — the r-unet/RDCNet recipe: pwl-BCE on the
+  probability channel + MSE on the vector channels
+  (``tests/r_unet_test.py:51-54``).
+
+Both run single-device by default and scale through
+``hcunet_tpu.parallel.train`` when given a mesh.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from hcunet_tpu.train.losses import cross_entropy, dice, mse_loss
+from hcunet_tpu.utils.logging import Metrics, get_logger
+
+log = get_logger(__name__)
+
+
+@dataclass
+class TrainConfig:
+    learning_rate: float = 1e-3
+    weight_decay: float = 0.0
+    epochs: int = 100
+    loss_method: str = "pixel"
+    dice_weight: float = 0.0
+    gamma: Optional[float] = None  # ExponentialLR-style per-epoch decay
+    checkpoint_path: Optional[str] = None
+    checkpoint_every: int = 50
+    log_every: int = 1
+
+
+def _make_tx(cfg: TrainConfig) -> optax.GradientTransformation:
+    if cfg.gamma is not None:
+        sched = optax.exponential_decay(
+            cfg.learning_rate, transition_steps=1, decay_rate=cfg.gamma,
+            staircase=True,
+        )
+    else:
+        sched = cfg.learning_rate
+    if cfg.weight_decay:
+        return optax.adamw(sched, weight_decay=cfg.weight_decay)
+    return optax.adam(sched)
+
+
+class UNetTrainer:
+    def __init__(self, model, variables: Dict, cfg: TrainConfig = TrainConfig()):
+        self.model = model
+        self.cfg = cfg
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+        self.tx = _make_tx(cfg)
+        self.opt_state = self.tx.init(self.params)
+        self.metrics = Metrics()
+        self._step = self._build_step()
+
+    def _build_step(self):
+        model, cfg = self.model, self.cfg
+
+        @jax.jit
+        def step(params, batch_stats, opt_state, image, mask, pwl):
+            def loss_fn(p):
+                out, updates = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    image,
+                    train=True,
+                    mutable=["batch_stats"],
+                )
+                loss = cross_entropy(out, mask, pwl, method=cfg.loss_method)
+                if cfg.dice_weight:
+                    loss = loss + cfg.dice_weight * dice(out, mask)
+                return loss, updates["batch_stats"]
+
+            (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params
+            )
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, new_stats, opt_state, loss
+
+        return step
+
+    def train_step(self, image, mask, pwl) -> float:
+        self.params, self.batch_stats, self.opt_state, loss = self._step(
+            self.params, self.batch_stats, self.opt_state, image, mask, pwl
+        )
+        return float(loss)
+
+    @property
+    def variables(self) -> Dict:
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+    def fit(self, dataset, epochs: Optional[int] = None) -> List[float]:
+        """``dataset``: indexable of ``(image, mask, pwl)`` channels-last
+        batches.  Returns per-epoch summed losses (the reference trainer's
+        console metric, ``train_fastercnn_func.py:51-62``)."""
+        cfg = self.cfg
+        epochs = epochs if epochs is not None else cfg.epochs
+        summed: List[float] = []
+        for e in range(epochs):
+            t0 = time.perf_counter()
+            total = 0.0
+            for i in range(len(dataset)):
+                image, mask, pwl = dataset[i]
+                total += self.train_step(
+                    jnp.asarray(image), jnp.asarray(mask), jnp.asarray(pwl)
+                )
+            summed.append(total)
+            self.metrics.write(
+                epoch=e, summed_loss=total,
+                avg_loss=total / max(len(dataset), 1),
+                epoch_seconds=time.perf_counter() - t0,
+            )
+            if cfg.log_every and e % cfg.log_every == 0:
+                log.info(
+                    "epoch %d | SL %.6f | AL %.6f | %.2fs",
+                    e, total, total / max(len(dataset), 1),
+                    time.perf_counter() - t0,
+                )
+            if (
+                cfg.checkpoint_path
+                and cfg.checkpoint_every
+                and (e + 1) % cfg.checkpoint_every == 0
+            ):
+                self.save(cfg.checkpoint_path)
+        return summed
+
+    def save(self, path: str, config=None, hyperparameters: Optional[Dict] = None):
+        from hcunet_tpu.utils.checkpoint import save_checkpoint
+
+        cfg_obj = config if config is not None else getattr(self.model, "config")
+        hp = dict(
+            learning_rate=self.cfg.learning_rate,
+            epochs=self.cfg.epochs,
+            loss_method=self.cfg.loss_method,
+        )
+        hp.update(hyperparameters or {})
+        save_checkpoint(path, self.variables, cfg_obj, hp)
+
+
+class RecurrentTrainer(UNetTrainer):
+    """r-unet/RDCNet recipe: out[..., 0] is the probability channel trained
+    with pwl-BCE; out[..., 2:5] are the vector channels trained with MSE
+    (``tests/r_unet_test.py:51-54``)."""
+
+    def _build_step(self):
+        model, cfg = self.model, self.cfg
+
+        @jax.jit
+        def step(params, batch_stats, opt_state, image, mask, pwl, vec):
+            def loss_fn(p):
+                variables = {"params": p}
+                if batch_stats:
+                    variables["batch_stats"] = batch_stats
+                    out, updates = model.apply(
+                        variables, image, train=True, mutable=["batch_stats"]
+                    )
+                    new_stats = updates["batch_stats"]
+                else:
+                    out = model.apply(variables, image)
+                    new_stats = batch_stats
+                prob = out[..., 0:1]
+                vecs = out[..., 2:5]
+                loss = cross_entropy(prob, mask, pwl, method=cfg.loss_method)
+                loss = loss + mse_loss(vecs, vec)
+                return loss, new_stats
+
+            (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params
+            )
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, new_stats, opt_state, loss
+
+        return step
+
+    def train_step(self, image, mask, pwl, vec) -> float:  # type: ignore[override]
+        self.params, self.batch_stats, self.opt_state, loss = self._step(
+            self.params, self.batch_stats, self.opt_state,
+            jnp.asarray(image), jnp.asarray(mask), jnp.asarray(pwl),
+            jnp.asarray(vec),
+        )
+        return float(loss)
+
+    def fit(self, dataset, epochs: Optional[int] = None) -> List[float]:  # type: ignore[override]
+        cfg = self.cfg
+        epochs = epochs if epochs is not None else cfg.epochs
+        summed: List[float] = []
+        for e in range(epochs):
+            total = 0.0
+            for i in range(len(dataset)):
+                image, mask, pwl, com, vec = dataset[i]
+                total += self.train_step(image, mask, pwl, vec)
+            summed.append(total)
+            self.metrics.write(epoch=e, summed_loss=total)
+        return summed

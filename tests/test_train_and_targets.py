@@ -1,0 +1,174 @@
+"""Trainer, target-generator, vector-clustering and checkpoint tests."""
+
+import numpy as np
+import pytest
+
+from hcunet_tpu.config import UNetConfig
+
+
+def _color_volume():
+    """[Z,Y,X,C] color-coded instance mask with two touching cells."""
+    img = np.zeros((3, 20, 20, 3), np.uint8)
+    img[:, :, :] = [10, 10, 10]  # background color
+    img[:, 4:10, 4:10] = [200, 0, 0]
+    img[:, 10:16, 4:10] = [0, 200, 0]  # touches the red cell at y=10
+    return img
+
+
+def test_colors_to_labels_and_make_mask():
+    from hcunet_tpu.train.targets import colors_to_labels, make_mask
+
+    img = _color_volume()
+    labels = colors_to_labels(img)
+    assert set(np.unique(labels)) == {0, 1, 2} or len(set(np.unique(labels))) == 3
+
+    cleaned = make_mask(img)
+    lab2 = colors_to_labels(cleaned)
+    # the touching boundary rows must have been stripped to background
+    assert (lab2[:, 9, 4:10] == 0).all() or (lab2[:, 10, 4:10] == 0).all()
+    # background color is now literal zero
+    assert (cleaned[0, 0, 0] == 0).all()
+
+
+def test_make_pwl_peaks_between_cells():
+    from hcunet_tpu.train.targets import make_pwl
+
+    img = _color_volume()
+    pwl = make_pwl(img)
+    assert pwl.shape == (3, 20, 20)
+    # weight is zero on cells, positive between them
+    assert pwl[:, 5, 5].max() == 0
+    between = pwl[:, 9:11, 2].max()  # just outside the touching boundary col
+    far = pwl[0, 0, 0]
+    assert pwl.max() > 0
+    assert far < pwl.max()
+    # max should occur near the inter-cell boundary
+    z, y, x = np.unravel_index(pwl.argmax(), pwl.shape)
+    assert 8 <= y <= 12
+
+
+def test_com_and_vector_targets():
+    from hcunet_tpu.train.targets import (
+        center_of_mass_target,
+        colors_to_labels,
+        vector_to_center,
+    )
+
+    img = _color_volume()
+    centers, labels = center_of_mass_target(img)
+    ids = set(np.unique(centers)) - {0}
+    assert len(ids) == 2
+    vec = vector_to_center(centers, labels)
+    assert vec.shape == labels.shape + (3,)
+    # at the painted center the offset is ~0
+    for i in ids:
+        z, y, x = np.argwhere(centers == i)[0]
+        assert abs(vec[z, y, x]).max() < 0.1
+    # offsets normalized by shape
+    assert np.abs(vec).max() <= 1.0
+
+
+def test_preprocess_volume_roundtrip(tmp_path):
+    from hcunet_tpu.data.tiff import imwrite
+    from hcunet_tpu.train.targets import preprocess_volume
+
+    img = _color_volume()
+    p = str(tmp_path / "vol.labels.tif")
+    imwrite(p, img)
+    centers, labels, vec = preprocess_volume(p)
+    import os
+
+    assert os.path.exists(str(tmp_path / "vol.labels.com.tif"))
+    assert os.path.exists(str(tmp_path / "vol.labels.vector.pkl"))
+
+
+def test_pixel_vec_to_cell_two_cells():
+    from hcunet_tpu.infer.vector_cluster import pixel_vec_to_cell
+
+    X, Y, Z = 30, 30, 6
+    mask = np.zeros((X, Y, Z))
+    vec = np.zeros((X, Y, Z, 3))
+    for cx, cy in [(8, 8), (22, 22)]:
+        for dx in range(-3, 4):
+            for dy in range(-3, 4):
+                mask[cx + dx, cy + dy, 2:4] = 1.0
+                # vector channels ordered (z, y, x)
+                vec[cx + dx, cy + dy, 2:4, 2] = -dx
+                vec[cx + dx, cy + dy, 2:4, 1] = -dy
+    labels = pixel_vec_to_cell(vec, mask, num_peaks=10)
+    ids = set(np.unique(labels)) - {0}
+    assert len(ids) >= 2
+    assert labels[8, 8, 3] != labels[22, 22, 3] != 0
+
+
+def test_unet_trainer_loss_decreases(rng):
+    import jax
+
+    from hcunet_tpu.models.unet import init_unet
+    from hcunet_tpu.train.trainer import TrainConfig, UNetTrainer
+
+    cfg = UNetConfig(
+        feature_sizes=(8, 16), kernel1=(3, 3, 2), kernel2=(3, 3, 1),
+        upsample_kernel=(4, 4, 2), max_pool_kernel=(2, 2, 1),
+        upsample_stride=(2, 2, 1), groups=1,
+    )
+    model, variables = init_unet(cfg, jax.random.PRNGKey(0), (32, 32, 6))
+    img = rng.random((1, 32, 32, 6, 4)).astype(np.float32)
+    mask = (rng.random((1, 32, 32, 6, 1)) > 0.7).astype(np.float32)
+    pwl = np.ones_like(mask)
+
+    trainer = UNetTrainer(model, variables, TrainConfig(learning_rate=1e-2, log_every=0))
+    losses = trainer.fit([(img, mask, pwl)], epochs=8)
+    assert losses[-1] < losses[0]
+
+
+def test_trainer_checkpoint_roundtrip(tmp_path, rng):
+    import jax
+
+    from hcunet_tpu.models.unet import UNet, init_unet
+    from hcunet_tpu.train.trainer import TrainConfig, UNetTrainer
+    from hcunet_tpu.utils.checkpoint import load_unet
+
+    cfg = UNetConfig(
+        feature_sizes=(8, 16), kernel1=(3, 3, 2), kernel2=(3, 3, 1),
+        upsample_kernel=(4, 4, 2), max_pool_kernel=(2, 2, 1),
+        upsample_stride=(2, 2, 1), groups=1,
+    )
+    model, variables = init_unet(cfg, jax.random.PRNGKey(0), (32, 32, 6))
+    trainer = UNetTrainer(model, variables, TrainConfig(log_every=0))
+    p = str(tmp_path / "model.hcunet")
+    trainer.save(p)
+
+    model2, vars2, hyper = load_unet(p)
+    assert model2.config == cfg
+    assert "learning_rate" in hyper
+    x = rng.random((1, 32, 32, 6, 4)).astype(np.float32)
+    a = model.apply(variables, x, train=False)
+    b = model2.apply(vars2, x, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # source snapshot present
+    import zipfile
+
+    with zipfile.ZipFile(p) as z:
+        names = z.namelist()
+    assert any(n.startswith("sources/") and n.endswith("unet.py") for n in names)
+
+
+def test_recurrent_trainer_runs(rng):
+    import jax
+
+    from hcunet_tpu.config import RDCNetConfig
+    from hcunet_tpu.models.rdcnet import RDCNet
+    from hcunet_tpu.train.trainer import RecurrentTrainer, TrainConfig
+
+    model = RDCNet(RDCNetConfig(timesteps=2))
+    x = rng.random((1, 16, 16, 4, 4)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    mask = (rng.random((1, 16, 16, 4, 1)) > 0.5).astype(np.float32)
+    pwl = np.ones_like(mask)
+    vec = rng.random((1, 16, 16, 4, 3)).astype(np.float32)
+    ds = [(x, mask, pwl, None, vec)]
+    trainer = RecurrentTrainer(model, dict(variables), TrainConfig(learning_rate=1e-3))
+    losses = trainer.fit(ds, epochs=3)
+    assert len(losses) == 3 and np.isfinite(losses).all()
