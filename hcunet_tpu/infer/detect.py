@@ -1,0 +1,93 @@
+"""Tiled 2D detection over a z-stack — hot loop #2
+(``hcat/segment.py:139-218``, ``predict_cell_candidates``).
+
+The reference runs the detector once per (z-plane, tile): with a 15-plane
+stack and a 2×2 tile grid that's 60 sequential model calls.  Here all z
+planes of one tile position form a batch — one ``detect`` call per tile
+position — and per-tile results merge into the global candidate list with
+NMS, exactly like ``utils.merge_cell_candidates``.
+
+Box convention: the detector emits torchvision-style ``(x1, y1, x2, y2)``
+where x is the width axis — array dim 1 of an [H, W] tile — and y is the
+height axis (array dim 0).  The candidate list stores boxes in the
+*volume's* array axes (dim0, dim1), as the instance segmenter expects, so
+this driver swaps at the boundary: detector ``(x, y)`` → array
+``(det_y + tile_x0, det_x + tile_y0)``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from hcunet_tpu.config import TileConfig
+from hcunet_tpu.core.shapes import calculate_indexes
+from hcunet_tpu.infer.candidates import empty_candidates, merge_cell_candidates
+
+DET_PAD = (24, 24)
+DET_EVAL = (500, 500)
+
+
+def predict_cell_candidates(
+    image: np.ndarray,
+    detector,
+    variables: Dict,
+    eval_size=DET_EVAL,
+    pad=DET_PAD,
+    initial_coords=(0, 0),
+    score_floor: float = 0.0,
+    progress=None,
+) -> Dict[str, np.ndarray]:
+    """``image``: [X, Y, Z, C>=3] volume (channels-last, already
+    normalized; the pipeline passes channels (0, 2, 3) like
+    ``hcat/main.py:99``).  Returns the merged candidate dict with boxes in
+    array axes (x=dim0, y=dim1), plus per-box ``z_level``.
+    """
+    X, Y, Z = image.shape[:3]
+    eval_size = [min(e, s) for e, s in zip(eval_size, (X, Y))]
+
+    if eval_size[0] >= X:
+        x_ind = [[0, X]]
+    else:
+        x_ind = calculate_indexes(pad[0], eval_size[0], X, X)
+    if eval_size[1] >= Y:
+        y_ind = [[0, Y]]
+    else:
+        y_ind = calculate_indexes(pad[1], eval_size[1], Y, Y)
+
+    candidates = None
+    for x0, x1 in x_ind:
+        for y0, y1 in y_ind:
+            tile = image[x0:x1, y0:y1, :, :3]  # [H, W, Z, 3]
+            # batch all z planes: [Z, H, W, 3]
+            batch = np.moveaxis(tile, 2, 0).astype(np.float32)
+            out = detector.detect(variables, jnp.asarray(batch))
+            boxes = np.asarray(out["boxes"])  # [Z, K, 4] detector axes
+            scores = np.asarray(out["scores"])
+            labels = np.asarray(out["labels"])
+            valid = np.asarray(out["valid"]) & (scores > score_floor)
+
+            for z in range(Z):
+                v = valid[z]
+                if not v.any():
+                    continue
+                det = boxes[z][v]
+                # detector (x=W=dim1, y=H=dim0) -> array axes (dim0, dim1)
+                arr_boxes = np.stack(
+                    [det[:, 1], det[:, 0], det[:, 3], det[:, 2]], axis=1
+                )
+                new = {
+                    "boxes": arr_boxes.astype(np.float32),
+                    "scores": scores[z][v].astype(np.float32),
+                    "labels": labels[z][v].astype(np.int32),
+                    "z_level": np.full(v.sum(), float(z), np.float32),
+                }
+                candidates = merge_cell_candidates(
+                    candidates, new,
+                    initial_coords=(x0 + initial_coords[0], y0 + initial_coords[1]),
+                )
+            if progress:
+                progress(f"detect tile [{x0}:{x1}, {y0}:{y1}]")
+    return candidates if candidates is not None else empty_candidates()
