@@ -38,4 +38,34 @@ __all__ = [
     "UNetConfig",
     "WatershedConfig",
     "__version__",
+    # facade (lazy) — mirrors the reference's hcat/__init__.py exports
+    "UNet",
+    "Detector",
+    "analyze",
+    "predict_segmentation_mask",
+    "predict_cell_candidates",
+    "generate_unique_segmentation_mask",
+    "generate_cell_objects",
 ]
+
+_LAZY = {
+    "UNet": ("hcunet_tpu.models.unet", "UNet"),
+    "Detector": ("hcunet_tpu.models.detection", "Detector"),
+    "analyze": ("hcunet_tpu.infer.pipeline", "analyze"),
+    "predict_segmentation_mask": ("hcunet_tpu.infer.tiling", "predict_segmentation_mask"),
+    "predict_cell_candidates": ("hcunet_tpu.infer.detect", "predict_cell_candidates"),
+    "generate_unique_segmentation_mask": (
+        "hcunet_tpu.infer.instance",
+        "generate_unique_segmentation_mask",
+    ),
+    "generate_cell_objects": ("hcunet_tpu.analysis.haircell", "generate_cell_objects"),
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'hcunet_tpu' has no attribute {name!r}")

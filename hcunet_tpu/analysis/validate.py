@@ -1,0 +1,176 @@
+"""Validation utilities.
+
+Two layers, mirroring the reference's validation scripts:
+
+* **Segmentation QA** (``valscripts/generate_histograms.py:44-86``): dice
+  and missed/false pixel ratios of predictions vs manual masks, plus
+  manual-vs-auto GFP intensity histograms — the accuracy-parity procedure
+  of BASELINE.md.
+* **Study aggregation** (``validate.py:77-177,386-415``): parse experiment
+  metadata (promoter / animal / gain / laser / day) from directory names,
+  aggregate per-cell channel statistics across images, and regress GFP
+  intensity against acquisition gain (numpy least squares in place of the
+  reference's sklearn).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# segmentation QA
+# ---------------------------------------------------------------------------
+
+
+def dice_score(pred: np.ndarray, truth: np.ndarray, eps: float = 1e-10) -> float:
+    p = np.asarray(pred) > 0
+    t = np.asarray(truth) > 0
+    return float((2 * (p & t).sum() + eps) / (p.sum() + t.sum() + eps))
+
+
+def pixel_error_rates(pred: np.ndarray, truth: np.ndarray) -> Tuple[float, float]:
+    """(missed_ratio, false_ratio): fraction of true pixels missed, and
+    fraction of predicted pixels that are false positives."""
+    p = np.asarray(pred) > 0
+    t = np.asarray(truth) > 0
+    missed = float((t & ~p).sum() / max(t.sum(), 1))
+    false = float((p & ~t).sum() / max(p.sum(), 1))
+    return missed, false
+
+
+def gfp_histograms(
+    image: np.ndarray,
+    pred_mask: np.ndarray,
+    true_mask: np.ndarray,
+    channel: int = 1,
+    bins: int = 50,
+):
+    """Manual-vs-auto intensity histograms over the masked GFP channel."""
+    ch = image[..., channel]
+    rng = (float(ch.min()), float(ch.max()) or 1.0)
+    auto, edges = np.histogram(ch[np.asarray(pred_mask) > 0], bins=bins, range=rng)
+    manual, _ = np.histogram(ch[np.asarray(true_mask) > 0], bins=bins, range=rng)
+    return {"auto": auto, "manual": manual, "edges": edges}
+
+
+def validate_segmentation(
+    unet_apply,
+    dataset,
+    unet_cfg,
+    tile_cfg=None,
+    threshold: float = 0.5,
+) -> List[Dict]:
+    """Run the model over a Stack-style dataset and score each sample."""
+    import jax.numpy as jnp
+
+    from hcunet_tpu.infer.tiling import predict_segmentation_mask
+
+    results = []
+    for i in range(len(dataset)):
+        image, mask, _pwl = dataset[i]
+        prob = predict_segmentation_mask(
+            unet_apply, jnp.asarray(image, jnp.float32), unet_cfg, tile_cfg,
+            use_probability_map=True,
+        )
+        prob = np.asarray(prob)[0, ..., 0]
+        pred = prob > threshold
+        truth = np.asarray(mask)[0, ..., 0]
+        missed, false = pixel_error_rates(pred, truth)
+        results.append(
+            {
+                "index": i,
+                "dice": dice_score(pred, truth),
+                "missed_ratio": missed,
+                "false_ratio": false,
+                "hist": gfp_histograms(np.asarray(image)[0], pred, truth),
+            }
+        )
+    return results
+
+
+# ---------------------------------------------------------------------------
+# study-level aggregation
+# ---------------------------------------------------------------------------
+
+# e.g. "Jul 18 AAV2-PHP.B-CMV m2 G80 L5 ..." — tolerant patterns like
+# validate.py:77-110
+_PATTERNS = {
+    "promoter": re.compile(r"(CMV|Synapsin|SYN|CAG|smCBA)", re.I),
+    "animal": re.compile(r"\bm(\d+)\b", re.I),
+    "gain": re.compile(r"\bG(\d+)\b", re.I),
+    "laser": re.compile(r"\bL(\d+(?:\.\d+)?)\b", re.I),
+    "day": re.compile(r"\b(Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)\s*(\d+)\b", re.I),
+    "virus": re.compile(r"(AAV[\w.\-]*)", re.I),
+}
+
+
+def parse_experiment_metadata(path: str) -> Dict[str, Optional[str]]:
+    name = os.path.basename(os.path.normpath(path))
+    out: Dict[str, Optional[str]] = {}
+    for key, pat in _PATTERNS.items():
+        m = pat.search(name)
+        if not m:
+            out[key] = None
+        elif key == "day":
+            out[key] = f"{m.group(1)} {m.group(2)}"
+        else:
+            out[key] = m.group(1)
+    return out
+
+
+@dataclass
+class StudyAggregate:
+    rows: List[Dict] = field(default_factory=list)
+
+    def add_image(self, path: str, cells: Sequence) -> None:
+        meta = parse_experiment_metadata(path)
+        for c in cells:
+            if getattr(c, "is_bad", False):
+                continue
+            row = dict(meta)
+            row.update(
+                image=path,
+                unique_id=c.unique_id,
+                volume=c.volume,
+                percent_location=c.distance_from_apex,
+            )
+            for ch, stats in c.signal_stats.items():
+                row[f"{ch}_mean"] = stats.get("mean")
+                row[f"{ch}_std"] = stats.get("std")
+                row[f"{ch}_median"] = stats.get("median")
+            self.rows.append(row)
+
+    def dataframe(self):
+        import pandas as pd
+
+        return pd.DataFrame(self.rows)
+
+    def gfp_vs_gain_regression(self) -> Optional[Dict[str, float]]:
+        """Least-squares fit of mean GFP against acquisition gain
+        (``validate.py:386-415``)."""
+        xs, ys = [], []
+        for r in self.rows:
+            if r.get("gain") is None or r.get("gfp_mean") is None:
+                continue
+            if not np.isfinite(r["gfp_mean"]):
+                continue
+            xs.append(float(r["gain"]))
+            ys.append(float(r["gfp_mean"]))
+        if len(xs) < 2:
+            return None
+        slope, intercept = np.polyfit(xs, ys, 1)
+        pred = slope * np.asarray(xs) + intercept
+        ss_res = float(((np.asarray(ys) - pred) ** 2).sum())
+        ss_tot = float(((np.asarray(ys) - np.mean(ys)) ** 2).sum()) or 1e-12
+        return {
+            "slope": float(slope),
+            "intercept": float(intercept),
+            "r2": 1.0 - ss_res / ss_tot,
+            "n": len(xs),
+        }

@@ -1,0 +1,242 @@
+"""Command-line interface.
+
+The reference has no CLI at all — scripts hard-code absolute paths
+(``hcat/main.py:57-66``, ``train_rcnn.py:18``).  Subcommands:
+
+    analyze      one z-stack end-to-end (checkpointed U-Net + detector)
+    batch        walk a data root, analyze every tif (manifest-resumable)
+    train-unet   train the valid-conv U-Net on Stack triplets
+    train-rcnn   train the detection head on Section xml/tif pairs
+    preprocess   build PWL/COM/vector training targets from label masks
+    bench        run the headline benchmark
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _add_analyze(sub):
+    p = sub.add_parser("analyze", help="analyze one cochlea z-stack")
+    p.add_argument("image")
+    p.add_argument("--unet", required=True, help=".hcunet checkpoint")
+    p.add_argument("--detector", default=None, help="detector checkpoint (optional)")
+    p.add_argument("--out", default=None, help="work/output dir")
+    p.add_argument("--numchunks", type=int, default=3)
+    p.add_argument("--no-cochlea", action="store_true")
+
+
+def _add_batch(sub):
+    p = sub.add_parser("batch", help="analyze every tif under a root")
+    p.add_argument("data_root")
+    p.add_argument("--unet", required=True)
+    p.add_argument("--detector", default=None)
+    p.add_argument("--numchunks", type=int, default=6)
+    p.add_argument("--retry-errors", action="store_true")
+
+
+def _add_train_unet(sub):
+    p = sub.add_parser("train-unet", help="train the 3D U-Net")
+    p.add_argument("data", help="directory of X.tif / X.mask.tif / X.pwl.tif")
+    p.add_argument("--out", default="unet.hcunet")
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--crop", type=int, nargs=3, default=[128, 128, 24])
+    p.add_argument("--loss-method", default="pixel",
+                   choices=["pixel", "worst_z", "sigmoid"])
+
+
+def _add_train_rcnn(sub):
+    p = sub.add_parser("train-rcnn", help="train the detection head")
+    p.add_argument("data", help="directory of X.tif + X.xml (VOC boxes)")
+    p.add_argument("--out", default="detector.hcunet")
+    p.add_argument("--epochs", type=int, default=5000)
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--gamma", type=float, default=0.997)
+    p.add_argument("--scale", type=float, default=3.0)
+    p.add_argument("--simple-class", action="store_true")
+
+
+def _add_preprocess(sub):
+    p = sub.add_parser("preprocess", help="build training targets")
+    p.add_argument("data", help="directory of *.labels.tif color masks")
+    p.add_argument("--workers", type=int, default=os.cpu_count() or 1)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="hcunet", description=__doc__)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    _add_analyze(sub)
+    _add_batch(sub)
+    _add_train_unet(sub)
+    _add_train_rcnn(sub)
+    _add_preprocess(sub)
+    sub.add_parser("bench", help="run the headline benchmark")
+    args = parser.parse_args(argv)
+
+    if args.cmd == "bench":
+        import bench
+
+        bench.main()
+        return 0
+
+    if args.cmd == "preprocess":
+        return _cmd_preprocess(args)
+    if args.cmd == "train-unet":
+        return _cmd_train_unet(args)
+    if args.cmd == "train-rcnn":
+        return _cmd_train_rcnn(args)
+    if args.cmd in ("analyze", "batch"):
+        return _cmd_analyze_like(args)
+    return 1
+
+
+def _load_models(unet_path, detector_path):
+    import jax
+
+    from hcunet_tpu.utils.checkpoint import load_checkpoint, load_unet
+
+    model, variables, _ = load_unet(unet_path)
+    unet_apply = jax.tree_util.Partial(
+        lambda v, t: model.apply(v, t, train=False), variables
+    )
+    detector = detector_vars = None
+    if detector_path:
+        from hcunet_tpu.models.detection import Detector
+
+        det_cfg, detector_vars, _ = load_checkpoint(detector_path)
+        detector = Detector(det_cfg)
+    return model, unet_apply, detector, detector_vars
+
+
+def _cmd_analyze_like(args):
+    from hcunet_tpu.config import PipelineConfig
+    from hcunet_tpu.infer.pipeline import analyze
+
+    model, unet_apply, detector, det_vars = _load_models(args.unet, args.detector)
+    cfg = PipelineConfig(numchunks=args.numchunks, unet=model.config)
+
+    if args.cmd == "analyze":
+        out = args.out or os.path.splitext(args.image)[0] + "_cellBycell"
+        result = analyze(
+            args.image, unet_apply=unet_apply, detector=detector,
+            detector_variables=det_vars, cfg=cfg, work_dir=out,
+            fit_cochlea=not args.no_cochlea,
+        )
+        print(json.dumps({"cells": len(result.cells), "out": out}))
+        return 0
+
+    from hcunet_tpu.apps.batch import run_batch
+
+    def one(img, out_dir):
+        analyze(
+            img, unet_apply=unet_apply, detector=detector,
+            detector_variables=det_vars, cfg=cfg, work_dir=out_dir,
+        )
+
+    results = run_batch(args.data_root, one, retry_errors=args.retry_errors)
+    print(json.dumps(results, indent=2))
+    return 0
+
+
+def _cmd_train_unet(args):
+    import jax
+
+    from hcunet_tpu.config import UNetConfig
+    from hcunet_tpu.data import transforms as t
+    from hcunet_tpu.data.datasets import Stack
+    from hcunet_tpu.models.unet import init_unet
+    from hcunet_tpu.train.trainer import TrainConfig, UNetTrainer
+
+    # the canonical augment recipe (reference tests/transforms_test.py:22-39)
+    ds = Stack(
+        args.data,
+        joint_transforms=[
+            t.to_float(), t.reshape(), t.nul_crop(rate=1),
+            t.random_crop(args.crop),
+            t.elastic_deform(grid_shape=(4, 4, 3), scale=5),
+        ],
+        image_transforms=[
+            t.random_gamma((0.7, 1.3)),
+            t.random_intensity(range=(-15, 15)),
+            t.drop_channel(0.2),
+            t.spekle(0.00001),
+            t.clean_image(),
+            t.normalize(),
+        ],
+    )
+    cfg = UNetConfig.production_3d()
+    model, variables = init_unet(cfg, jax.random.PRNGKey(0))
+    trainer = UNetTrainer(
+        model, variables,
+        TrainConfig(learning_rate=args.lr, epochs=args.epochs,
+                    loss_method=args.loss_method, checkpoint_path=args.out),
+    )
+    trainer.fit(ds)
+    trainer.save(args.out)
+    print(json.dumps({"checkpoint": args.out}))
+    return 0
+
+
+def _cmd_train_rcnn(args):
+    import jax
+
+    from hcunet_tpu.config import DetectorConfig
+    from hcunet_tpu.data import transforms as t
+    from hcunet_tpu.data.datasets import Section
+    from hcunet_tpu.models.detection import Detector
+    from hcunet_tpu.train.detection_trainer import (
+        DetectionTrainConfig,
+        DetectionTrainer,
+    )
+    from hcunet_tpu.utils.checkpoint import save_checkpoint
+
+    ds = Section(
+        args.data,
+        image_transforms=[t.to_float(), t.remove_channel()],
+        simple_class=args.simple_class,
+    )
+    n_classes = 3 if args.simple_class else 5
+    cfg = DetectorConfig(num_classes=n_classes)
+    det = Detector(cfg)
+    img0, _ = ds[0]
+    variables = det.init(jax.random.PRNGKey(0), img0.shape[1:3])
+    trainer = DetectionTrainer(
+        det, variables,
+        DetectionTrainConfig(
+            learning_rate=args.lr, gamma=args.gamma,
+            classifier_scale=args.scale, epochs=args.epochs,
+        ),
+        steps_per_epoch=len(ds),
+    )
+    trainer.fit(ds)
+    save_checkpoint(args.out, trainer.variables, cfg)
+    print(json.dumps({"checkpoint": args.out}))
+    return 0
+
+
+def _cmd_preprocess(args):
+    import glob as g
+    from multiprocessing import Pool
+
+    from hcunet_tpu.train.targets import preprocess_volume
+
+    files = sorted(g.glob(os.path.join(args.data, "*.labels.tif")))
+    if not files:
+        print("no *.labels.tif found", file=sys.stderr)
+        return 1
+    if args.workers > 1:
+        with Pool(args.workers) as pool:
+            pool.map(preprocess_volume, files)
+    else:
+        for f in files:
+            preprocess_volume(f)
+    print(json.dumps({"processed": len(files)}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

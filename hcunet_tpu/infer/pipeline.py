@@ -1,0 +1,226 @@
+"""End-to-end analysis pipeline — the ``hcat.analyze`` equivalent
+(``hcat/main.py:20-236``).
+
+Stages per chunk (the reference's numchunks×numchunks spatial grid):
+ 1. slice + transforms (to_float / reshape / normalize, device layout);
+ 2. tiled 2D detection over z-planes → cell candidates (hot loop #2);
+ 3. tiled 3D semantic segmentation → probability map (hot loop #1);
+ 4. gaussian blur σ=3, floor 0.25, ×10 (``main.py:130-132``);
+ 5. detection-seeded instance watershed (hot loop #3);
+ 6. HairCell extraction; chunk spill to disk (resumable).
+Then: reconstruct chunks, size QA render, cochlear spline fit, per-cell
+tonotopic frequency, CSV.
+
+Resumability: the reference memoizes each stage in ad-hoc pickles
+(``pccl*/psm*/unique_mask*``, ``main.py:101-149``); here every chunk stage
+caches to a ``.npz`` journal under ``work_dir`` keyed by chunk id, so a
+crashed run resumes exactly where it stopped.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from hcunet_tpu.config import PipelineConfig
+from hcunet_tpu.analysis.cochlea import get_cochlear_length
+from hcunet_tpu.analysis.export import cells_to_csv, render_size
+from hcunet_tpu.analysis.haircell import HairCell, generate_cell_objects
+from hcunet_tpu.infer.chunks import PART_EXT, Part, reconstruct_mask, reconstruct_segmented
+from hcunet_tpu.infer.detect import predict_cell_candidates
+from hcunet_tpu.infer.instance import generate_unique_segmentation_mask
+from hcunet_tpu.infer.tiling import predict_segmentation_mask
+from hcunet_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+@dataclass
+class AnalyzeResult:
+    mask: np.ndarray  # [X, Y, Z] semantic probability
+    unique_mask: np.ndarray  # [X, Y, Z] instance labels
+    cells: List[HairCell]
+    cochlea_curve: Optional[np.ndarray] = None
+    percentage: Optional[np.ndarray] = None
+    apex: Optional[np.ndarray] = None
+
+
+def _load_volume(path: str) -> np.ndarray:
+    """Load a z-stack and bring it to [X, Y, Z, C] float in [0, 1]."""
+    from hcunet_tpu.data.tiff import imread
+    from hcunet_tpu.data.transforms import reshape, to_float
+
+    raw = imread(path)  # [Z, Y, X, C] skimage convention
+    if raw.ndim == 3:
+        raw = raw[..., None]
+    vol = to_float()(raw)
+    return reshape()(vol)
+
+
+def analyze(
+    path: Optional[str] = None,
+    volume: Optional[np.ndarray] = None,
+    *,
+    unet_apply: Callable,
+    detector=None,
+    detector_variables: Optional[Dict] = None,
+    cfg: PipelineConfig = PipelineConfig(),
+    work_dir: str = "./hcunet_work",
+    save_plots: bool = False,
+    fit_cochlea: bool = True,
+) -> AnalyzeResult:
+    """Analyze one cochlea z-stack.
+
+    Provide either ``path`` (tif/npy on disk) or ``volume`` ([X, Y, Z, C]
+    float in [0,1], pre-reshape).  ``unet_apply`` maps a tile batch
+    ``[B, tx, ty, tz, C]`` to logits (bind model+params with
+    ``jax.tree_util.Partial``).  ``detector``/``detector_variables`` may be
+    None to skip detection (instance masks then come back empty).
+    """
+    import jax.numpy as jnp
+
+    os.makedirs(work_dir, exist_ok=True)
+
+    if volume is None:
+        if path is None:
+            raise ValueError("provide path or volume")
+        log.info("loading image %s", path)
+        volume = _load_volume(path)
+    X, Y, Z, C = volume.shape
+    mean = np.asarray(cfg.normalize_mean[:C])
+    std = np.asarray(cfg.normalize_std[:C])
+
+    n = cfg.numchunks
+    y_ind = np.linspace(0, Y, n).astype(int)
+    x_ind = np.linspace(0, X, n).astype(int)
+
+    all_cells: List[HairCell] = []
+    t_start = time.perf_counter()
+
+    for i in range(1, len(y_ind)):
+        for j in range(1, len(x_ind)):
+            cx0, cx1 = int(x_ind[j - 1]), int(x_ind[j])
+            cy0, cy1 = int(y_ind[i - 1]), int(y_ind[i])
+            chunk_id = f"chunk_{i}_{j}"
+            part_path = os.path.join(work_dir, chunk_id + PART_EXT)
+            cells_path = os.path.join(work_dir, chunk_id + ".cells.npz")
+            if os.path.exists(part_path) and os.path.exists(cells_path):
+                log.info("%s cached — skipping", chunk_id)
+                all_cells.extend(_load_cells(cells_path))
+                continue
+
+            chunk = volume[cx0:cx1, cy0:cy1]
+            norm = (chunk - mean) / std  # [X, Y, Z, C]
+
+            # --- detection (hot loop #2) ---
+            if detector is not None:
+                det_in = norm[..., list(cfg.detection_channels)]
+                candidates = predict_cell_candidates(
+                    det_in.astype(np.float32), detector, detector_variables
+                )
+                log.info(
+                    "%s: %d candidates", chunk_id, len(candidates["scores"])
+                )
+            else:
+                from hcunet_tpu.infer.candidates import empty_candidates
+
+                candidates = empty_candidates()
+
+            # --- semantic segmentation (hot loop #1) ---
+            prob = predict_segmentation_mask(
+                unet_apply,
+                jnp.asarray(norm[None], jnp.float32),
+                cfg.unet,
+                cfg.tiles,
+                use_probability_map=True,
+            )
+            prob = np.asarray(prob)[0, ..., 0]  # [X, Y, Z]
+
+            # --- blur, floor, rescale (main.py:130-132) ---
+            from scipy import ndimage as ndi
+
+            prob = ndi.gaussian_filter(prob, sigma=cfg.gaussian_sigma, mode="nearest")
+            prob[prob < cfg.prob_floor] = 0
+            prob = (prob * cfg.prob_scale).astype(np.float32)
+
+            # --- instance watershed (hot loop #3) ---
+            unique_mask, _seed = generate_unique_segmentation_mask(
+                prob, candidates, cfg.watershed
+            )
+
+            # --- cells + spill ---
+            cells = generate_cell_objects(
+                chunk, unique_mask, x_ind_chunk=cx0, y_ind_chunk=cy0
+            )
+            all_cells.extend(cells)
+            Part.create(prob, unique_mask, (cx0, cy0)).save(part_path)
+            _save_cells(cells_path, cells)
+            log.info(
+                "%s done: %d cells (%.1fs elapsed)",
+                chunk_id, len(cells), time.perf_counter() - t_start,
+            )
+
+    log.info("reconstructing masks")
+    mask = reconstruct_mask(work_dir)
+    unique_mask = reconstruct_segmented(work_dir)
+
+    if save_plots:
+        render_size(unique_mask, os.path.join(work_dir, "size_validation.tif"))
+    else:
+        render_size(unique_mask, None)
+
+    curve = pct = apex = None
+    if fit_cochlea:
+        log.info("fitting cochlear spline")
+        projected = (mask > 0.5).sum(-1) if mask.dtype != np.uint8 else mask.sum(-1)
+        try:
+            curve, pct, apex = get_cochlear_length(
+                projected.astype(np.float64), equal_spaced_distance=2
+            )
+            for cell in all_cells:
+                cell.set_frequency(curve, pct)
+        except ValueError as e:
+            log.warning("cochlear fit failed: %s", e)
+
+    cells_to_csv(all_cells, os.path.join(work_dir, "cells.csv"))
+    return AnalyzeResult(mask, unique_mask, all_cells, curve, pct, apex)
+
+
+def _save_cells(path: str, cells: List[HairCell]) -> None:
+    import pickle
+
+    blob = [
+        {
+            "image_coords": c.image_coords,
+            "center": c.center,
+            "unique_id": c.unique_id,
+            "volume": c.volume,
+            "is_bad": c.is_bad,
+            "signal_stats": c.signal_stats,
+            "gfp_stats": c.gfp_stats,
+        }
+        for c in cells
+    ]
+    np.savez_compressed(path, blob=np.frombuffer(pickle.dumps(blob), np.uint8))
+
+
+def _load_cells(path: str) -> List[HairCell]:
+    import pickle
+
+    with np.load(path) as z:
+        blob = pickle.loads(z["blob"].tobytes())
+    cells = []
+    for d in blob:
+        c = HairCell(
+            d["image_coords"], d["center"], d["unique_id"],
+            is_bad=d["is_bad"], volume=d["volume"],
+        )
+        c.signal_stats = d["signal_stats"]
+        c.gfp_stats = d["gfp_stats"]
+        cells.append(c)
+    return cells

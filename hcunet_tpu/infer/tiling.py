@@ -180,13 +180,10 @@ def predict_segmentation_mask(
     eval_size = tuple(
         min(e, s) for e, s in zip(tile_cfg.eval_size, spatial)
     )
-    pad = tuple(tile_cfg.pad)
-    for p, s in zip(pad, spatial):
-        if p > s:
-            raise ValueError(
-                f"reflection pad {p} exceeds axis size {s}; "
-                f"reduce tile pad or eval size"
-            )
+    # single-pass symmetric reflection cannot exceed the axis size — clamp
+    # the halo for small volumes/chunks (geometry check below still
+    # guarantees the halo covers the network shrink, or raises).
+    pad = tuple(min(int(p), int(s)) for p, s in zip(tile_cfg.pad, spatial))
 
     _check_geometry(
         tuple(e + 2 * p for e, p in zip(eval_size, pad)), eval_size, pad, unet_cfg

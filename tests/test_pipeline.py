@@ -1,0 +1,139 @@
+"""End-to-end pipeline tests: analyze() on a synthetic volume with tiny
+models, chunk-journal resumability, batch driver manifest semantics."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from hcunet_tpu.config import (
+    DetectorConfig,
+    PipelineConfig,
+    TileConfig,
+    UNetConfig,
+    WatershedConfig,
+)
+from hcunet_tpu.infer.pipeline import analyze
+from hcunet_tpu.models.detection import Detector
+from hcunet_tpu.models.unet import init_unet
+
+
+@pytest.fixture(scope="module")
+def tiny_models():
+    cfg = UNetConfig(
+        feature_sizes=(8, 16),
+        kernel1=(3, 3, 2),
+        kernel2=(3, 3, 1),
+        upsample_kernel=(4, 4, 2),
+        max_pool_kernel=(2, 2, 1),
+        upsample_stride=(2, 2, 1),
+        groups=1,
+    )
+    model, variables = init_unet(cfg, jax.random.PRNGKey(0), (48, 48, 6))
+    unet_apply = jax.tree_util.Partial(
+        lambda v, t: model.apply(v, t, train=False), variables
+    )
+    det_cfg = DetectorConfig(
+        num_classes=2, max_detections=10, rpn_pre_nms_top_n=64,
+        rpn_post_nms_top_n=16, anchor_sizes=(16, 32, 64, 128, 256),
+        box_score_thresh=0.0,
+    )
+    det = Detector(det_cfg, backbone="small")
+    det_vars = det.init(jax.random.PRNGKey(1), (64, 64))
+    return cfg, unet_apply, det, det_vars
+
+
+def _pipeline_cfg(unet_cfg):
+    return PipelineConfig(
+        numchunks=2,
+        unet=unet_cfg,
+        tiles=TileConfig(eval_size=(48, 48, 6), pad=(24, 24, 3), batch=2),
+        watershed=WatershedConfig(expand_mask=2),
+    )
+
+
+def test_analyze_end_to_end(tmp_path, tiny_models, rng):
+    unet_cfg, unet_apply, det, det_vars = tiny_models
+    volume = rng.random((64, 64, 6, 4)).astype(np.float32)
+    result = analyze(
+        volume=volume,
+        unet_apply=unet_apply,
+        detector=det,
+        detector_variables=det_vars,
+        cfg=_pipeline_cfg(unet_cfg),
+        work_dir=str(tmp_path / "work"),
+        fit_cochlea=False,
+    )
+    assert result.mask.shape == (64, 64, 6)
+    assert result.unique_mask.shape == (64, 64, 6)
+    assert os.path.exists(tmp_path / "work" / "cells.csv")
+
+
+def test_analyze_resumes_from_journal(tmp_path, tiny_models, rng):
+    unet_cfg, unet_apply, det, det_vars = tiny_models
+    volume = rng.random((64, 64, 6, 4)).astype(np.float32)
+    work = str(tmp_path / "work")
+    analyze(
+        volume=volume, unet_apply=unet_apply, detector=None,
+        detector_variables=None, cfg=_pipeline_cfg(unet_cfg),
+        work_dir=work, fit_cochlea=False,
+    )
+    # second run must reuse every chunk (no new part files, much faster)
+    parts_before = sorted(os.listdir(work))
+
+    def boom(*a, **k):
+        raise AssertionError("unet must not be called on resume")
+
+    analyze(
+        volume=volume, unet_apply=boom, detector=None,
+        detector_variables=None, cfg=_pipeline_cfg(unet_cfg),
+        work_dir=work, fit_cochlea=False,
+    )
+    assert sorted(os.listdir(work)) == parts_before
+
+
+def test_batch_driver_manifest(tmp_path):
+    from hcunet_tpu.apps.batch import run_batch, read_status
+
+    root = tmp_path / "data"
+    root.mkdir()
+    from hcunet_tpu.data.tiff import imwrite
+
+    for name in ("a.tif", "b.tif"):
+        imwrite(str(root / name), np.zeros((4, 8, 8), np.uint8))
+
+    calls = []
+
+    def fake_analyze(img, out):
+        calls.append(img)
+        if img.endswith("b.tif"):
+            raise RuntimeError("synthetic failure")
+
+    results = run_batch(str(root), fake_analyze)
+    assert len(calls) == 2
+    states = {os.path.basename(r["image"]): r["state"] for r in results}
+    assert states == {"a.tif": "done", "b.tif": "error"}
+
+    # second pass: both skipped (done + recorded error)
+    calls.clear()
+    results2 = run_batch(str(root), fake_analyze)
+    assert calls == []
+    assert all(r.get("cached") for r in results2)
+
+    # error retry
+    results3 = run_batch(str(root), fake_analyze, retry_errors=True)
+    assert calls == [str(root / "b.tif")]
+
+    status = read_status(str(root / "b_cellBycell"))
+    assert status["state"] == "error" and "synthetic failure" in status["error"]
+
+
+def test_cli_help_and_parsing(capsys):
+    from hcunet_tpu.cli import main
+
+    with pytest.raises(SystemExit):
+        main(["--help"])
+    out = capsys.readouterr().out
+    for cmd in ("analyze", "batch", "train-unet", "train-rcnn", "preprocess", "bench"):
+        assert cmd in out

@@ -1,0 +1,59 @@
+"""Validation-layer tests."""
+
+import numpy as np
+
+from hcunet_tpu.analysis.validate import (
+    StudyAggregate,
+    dice_score,
+    gfp_histograms,
+    parse_experiment_metadata,
+    pixel_error_rates,
+)
+
+
+def test_dice_and_error_rates():
+    truth = np.zeros((10, 10), bool)
+    truth[2:8, 2:8] = True
+    pred = np.zeros((10, 10), bool)
+    pred[2:8, 2:5] = True  # half coverage, no false positives
+    d = dice_score(pred, truth)
+    assert 0.4 < d < 0.7
+    missed, false = pixel_error_rates(pred, truth)
+    assert missed == 0.5 and false == 0.0
+    assert dice_score(truth, truth) > 0.999
+
+
+def test_gfp_histograms_shapes(rng):
+    img = rng.random((10, 10, 3, 4))
+    m = rng.random((10, 10, 3)) > 0.5
+    h = gfp_histograms(img, m, ~m, channel=1, bins=20)
+    assert h["auto"].shape == (20,) and h["manual"].shape == (20,)
+    assert h["edges"].shape == (21,)
+
+
+def test_parse_experiment_metadata():
+    meta = parse_experiment_metadata(
+        "/data/Jul 18 AAV2-PHP.B-CMV m2 G80 L5 cochlea"
+    )
+    assert meta["promoter"] == "CMV"
+    assert meta["animal"] == "2"
+    assert meta["gain"] == "80"
+    assert meta["laser"] == "5"
+    assert meta["day"] == "Jul 18"
+    assert meta["virus"].startswith("AAV2")
+
+
+def test_study_aggregate_and_regression():
+    from hcunet_tpu.analysis.haircell import HairCell
+
+    agg = StudyAggregate()
+    for gain, gfp in [(10, 1.0), (20, 2.1), (30, 2.9)]:
+        cell = HairCell([0, 0, 0, 1, 1, 1], [0, 0, 0], unique_id=1)
+        cell.signal_stats = {"gfp": {"mean": gfp, "std": 0.1, "median": gfp}}
+        cell.gfp_stats = cell.signal_stats["gfp"]
+        agg.add_image(f"/study/Feb 6 CMV m1 G{gain} L1", [cell])
+    df = agg.dataframe()
+    assert len(df) == 3 and "gfp_mean" in df.columns
+    reg = agg.gfp_vs_gain_regression()
+    assert reg is not None and reg["n"] == 3
+    assert 0.08 < reg["slope"] < 0.11 and reg["r2"] > 0.95
