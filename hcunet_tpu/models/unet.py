@@ -75,6 +75,9 @@ class ConvBNRelu(nn.Module):
             b,
             dilation=self.dilation,
             groups=self.groups,
+            # bf16 output keeps the MXU's internal f32 accumulation but
+            # avoids materializing f32 activation buffers (2x HBM)
+            accum_dtype=self.dtype,
         )
         x = nn.BatchNorm(
             use_running_average=not train,
@@ -128,7 +131,8 @@ class Up(nn.Module):
         )
         b_up = self.param("up_bias", nn.initializers.zeros, (self.features,), jnp.float32)
         x = conv_transpose_torch(
-            x.astype(self.dtype), w_up.astype(self.dtype), b_up, stride=self.up_stride
+            x.astype(self.dtype), w_up.astype(self.dtype), b_up,
+            stride=self.up_stride, accum_dtype=self.dtype,
         )
         common = tuple(
             min(int(a), int(b)) for a, b in zip(x.shape[1:-1], skip.shape[1:-1])
@@ -198,7 +202,9 @@ class UNet(nn.Module):
             jnp.float32,
         )
         b = self.param("out_bias", nn.initializers.zeros, (cfg.out_channels,), jnp.float32)
-        x = conv_valid(x.astype(self.dtype), w.astype(self.dtype), b)
+        x = conv_valid(
+            x.astype(self.dtype), w.astype(self.dtype), b, accum_dtype=self.dtype
+        )
         return x.astype(jnp.float32)
 
 

@@ -38,6 +38,32 @@ def _dim_numbers(nd: int) -> lax.ConvDimensionNumbers:
     )
 
 
+def block_diagonal_weights(w: jnp.ndarray, groups: int) -> jnp.ndarray:
+    """Expand grouped-conv weights [*k, Cin/g, Cout] to dense block-diagonal
+    [*k, Cin, Cout].
+
+    XLA's TPU grouped-convolution path is ~4-5x slower than a dense conv for
+    the small group counts this model family uses (measured: conv1 of the
+    production U-Net, 159ms grouped vs 38ms dense on v5e), so grouped convs
+    run as dense convs whose cross-group weights are structurally zero —
+    numerically identical, and the wasted FLOPs (x groups) are far cheaper
+    than the slow path.
+    """
+    k = w.shape[:-2]
+    cin_g, cout = w.shape[-2], w.shape[-1]
+    cout_g = cout // groups
+    dense = jnp.zeros((*k, cin_g * groups, cout), w.dtype)
+    for j in range(groups):
+        dense = dense.at[
+            ..., j * cin_g : (j + 1) * cin_g, j * cout_g : (j + 1) * cout_g
+        ].set(w[..., :, j * cout_g : (j + 1) * cout_g])
+    return dense
+
+
+# below this many input channels per group, dense block-diagonal wins
+_GROUPED_DENSE_MAX_EXPANSION = 8
+
+
 def conv_valid(
     x: jnp.ndarray,
     w: jnp.ndarray,
@@ -57,6 +83,10 @@ def conv_valid(
         stride = (stride,) * nd
     if isinstance(dilation, int):
         dilation = (dilation,) * nd
+    feature_groups = groups
+    if groups > 1 and groups <= _GROUPED_DENSE_MAX_EXPANSION:
+        w = block_diagonal_weights(w, groups)
+        feature_groups = 1
     out = lax.conv_general_dilated(
         x,
         w,
@@ -64,7 +94,7 @@ def conv_valid(
         padding="VALID",
         rhs_dilation=tuple(dilation),
         dimension_numbers=_dim_numbers(nd),
-        feature_group_count=groups,
+        feature_group_count=feature_groups,
         preferred_element_type=accum_dtype,
     )
     if b is not None:
