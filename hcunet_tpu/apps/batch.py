@@ -42,17 +42,44 @@ def write_status(out_dir: str, **kv) -> None:
         json.dump(status, f, indent=2)
 
 
+def host_shard() -> tuple[int, int]:
+    """(index, count) of this host in a multi-host job.
+
+    Uses the jax.distributed runtime when initialized (DCN axis of the
+    framework's mesh story — SURVEY.md §2.7 row 1), else env vars
+    ``HCUNET_SHARD_INDEX`` / ``HCUNET_SHARD_COUNT``, else (0, 1)."""
+    try:
+        import jax
+
+        if jax.process_count() > 1:
+            return jax.process_index(), jax.process_count()
+    except Exception:
+        pass
+    return (
+        int(os.environ.get("HCUNET_SHARD_INDEX", 0)),
+        int(os.environ.get("HCUNET_SHARD_COUNT", 1)),
+    )
+
+
 def run_batch(
     data_root: str,
     analyze_fn: Callable[[str, str], object],
     pattern: str = "**/*.tif",
     retry_errors: bool = False,
+    shard: Optional[tuple[int, int]] = None,
 ) -> List[dict]:
     """For each image under ``data_root``: create ``<name>_cellBycell/``,
     skip if the manifest says done, run ``analyze_fn(image_path, out_dir)``,
-    record success/failure, continue on error (``loop_main.py:47-66``)."""
+    record success/failure, continue on error (``loop_main.py:47-66``).
+
+    ``shard=(i, n)`` statically partitions the image list across hosts —
+    the embarrassing data parallelism of ``loop_main.py`` scaled over DCN;
+    defaults to :func:`host_shard`."""
     images = sorted(glob.glob(os.path.join(data_root, pattern), recursive=True))
     images = [p for p in images if "_cellBycell" not in p]
+    idx, count = shard if shard is not None else host_shard()
+    if count > 1:
+        images = images[idx::count]
     results = []
     for img_path in images:
         out_dir = os.path.splitext(img_path)[0] + "_cellBycell"

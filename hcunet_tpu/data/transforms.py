@@ -200,6 +200,28 @@ def _joint(images, fn, rng):
     return out[0] if single else out
 
 
+class random_affine:
+    """Random xy-plane affine shear (the reference's version raises
+    ``NotImplemented`` at ``transforms.py:200-203``; this one works).
+    Order-0 resampling keeps masks label-crisp."""
+
+    def __init__(self, max_shear: float = 0.2):
+        self.max_shear = max_shear
+
+    def __call__(self, images, rng: np.random.Generator):
+        def fn(im, r):
+            sx, sy = r.uniform(-self.max_shear, self.max_shear, 2)
+            mat = np.eye(im.ndim)
+            mat[0, 1] = sx
+            mat[1, 0] = sy
+            return ndi.affine_transform(
+                im.astype(np.float64), mat, order=0, output_shape=im.shape,
+                mode="reflect",
+            )
+
+        return _joint(images, fn, rng)
+
+
 class random_rotate:
     """Random (or fixed) xy-plane rotation, order 0
     (``transforms.py:230-254``)."""
@@ -405,6 +427,19 @@ class add_junk_image:
             if not (hit_x or hit_y):
                 kept.append(box)
         return image, kept
+
+
+def distance_transform(image: np.ndarray) -> np.ndarray:
+    """Per-z-slice exact EDT of a dilated binary mask — the alternative
+    training target of ``transforms.py:728-752`` (which used cv2's chamfer;
+    exact here).  ``image``: [Z, ...] uint8."""
+    if image.dtype != np.uint8:
+        raise ValueError(f"image dtype is not uint8: {image.dtype}")
+    dilated = ndi.binary_dilation(image > 0)
+    out = np.zeros(image.shape, np.float64)
+    for z in range(image.shape[0]):
+        out[z] = ndi.distance_transform_edt(dilated[z])
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -92,3 +92,31 @@ def load_unet(path: str):
 
     config, variables, hyper = load_checkpoint(path)
     return UNet(config), variables, hyper
+
+
+def load_model(path: str):
+    """Generic loader: rebuilds the right model family from the stored
+    config type (UNet / RecursiveUNet / RDCNet / Detector).
+
+    Returns ``(model, variables, hyperparameters)``.
+    """
+    from hcunet_tpu import config as C
+
+    cfg, variables, hyper = load_checkpoint(path)
+    if isinstance(cfg, C.UNetConfig):
+        from hcunet_tpu.models.unet import UNet
+
+        return UNet(cfg), variables, hyper
+    if isinstance(cfg, C.RUNetConfig):
+        from hcunet_tpu.models.runet import RecursiveUNet
+
+        return RecursiveUNet(cfg), variables, hyper
+    if isinstance(cfg, C.RDCNetConfig):
+        from hcunet_tpu.models.rdcnet import RDCNet
+
+        return RDCNet(cfg), variables, hyper
+    if isinstance(cfg, C.DetectorConfig):
+        from hcunet_tpu.models.detection import Detector
+
+        return Detector(cfg), variables, hyper
+    raise ValueError(f"no model family for config type {type(cfg).__name__}")

@@ -137,3 +137,21 @@ def test_cli_help_and_parsing(capsys):
     out = capsys.readouterr().out
     for cmd in ("analyze", "batch", "train-unet", "train-rcnn", "preprocess", "bench"):
         assert cmd in out
+
+
+def test_batch_host_sharding(tmp_path):
+    from hcunet_tpu.apps.batch import run_batch
+
+    root = tmp_path / "data"
+    root.mkdir()
+    from hcunet_tpu.data.tiff import imwrite
+
+    for i in range(5):
+        imwrite(str(root / f"im{i}.tif"), np.zeros((2, 4, 4), np.uint8))
+
+    seen = []
+    run_batch(str(root), lambda img, out: seen.append(img), shard=(0, 2))
+    seen2 = []
+    run_batch(str(root), lambda img, out: seen2.append(img), shard=(1, 2))
+    assert len(seen) + len(seen2) == 5
+    assert not set(seen) & set(seen2)

@@ -172,3 +172,66 @@ def test_recurrent_trainer_runs(rng):
     trainer = RecurrentTrainer(model, dict(variables), TrainConfig(learning_rate=1e-3))
     losses = trainer.fit(ds, epochs=3)
     assert len(losses) == 3 and np.isfinite(losses).all()
+
+
+def test_random_affine_and_distance_transform(rng):
+    from hcunet_tpu.data import transforms as t
+
+    imgs = [rng.random((16, 16, 4, 4)), (rng.random((16, 16, 4, 1)) > 0.5).astype(float)]
+    a, m = t.random_affine(0.3)(list(imgs), np.random.default_rng(0))
+    assert a.shape == imgs[0].shape
+    assert set(np.unique(m)) <= {0.0, 1.0}
+
+    binary = (rng.random((3, 20, 20)) > 0.6).astype(np.uint8)
+    d = t.distance_transform(binary)
+    assert d.shape == binary.shape and d.max() > 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.distance_transform(binary.astype(np.float32))
+
+
+def test_generic_load_model(tmp_path, rng):
+    import jax
+
+    from hcunet_tpu.config import RDCNetConfig
+    from hcunet_tpu.models.rdcnet import RDCNet
+    from hcunet_tpu.utils.checkpoint import load_model, save_checkpoint
+
+    cfg = RDCNetConfig(timesteps=2)
+    model = RDCNet(cfg)
+    x = rng.random((1, 16, 16, 4, 4)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    p = str(tmp_path / "rdc.hcunet")
+    save_checkpoint(p, dict(variables), cfg, snapshot_sources=False)
+    model2, v2, _ = load_model(p)
+    assert isinstance(model2, RDCNet) and model2.config == cfg
+    a = model.apply(variables, x)
+    b = model2.apply(v2, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_viz_helpers(rng):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from hcunet_tpu.analysis.viz import (
+        construct_instance_mask,
+        labels_to_rgb,
+        show_box_pred,
+    )
+    from hcunet_tpu.analysis.haircell import HairCell
+
+    ax = show_box_pred(
+        rng.random((32, 32)),
+        {"boxes": np.array([[4, 4, 12, 12]]), "scores": np.array([0.95]),
+         "labels": np.array([1])},
+    )
+    assert ax is not None
+
+    cell = HairCell([2, 2, 0, 8, 8, 2], [5, 5, 1], unique_id=1)
+    vol = np.zeros((16, 16, 3))
+    inst = construct_instance_mask([cell], vol)
+    assert inst[3, 3, 1] == 1
+    rgb = labels_to_rgb(inst[..., 1])
+    assert rgb.shape == (16, 16, 4)
