@@ -6,7 +6,7 @@ calls ``plt.show()`` so they compose in scripts and notebooks.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

@@ -17,12 +17,11 @@ this driver swaps at the boundary: detector ``(x, y)`` → array
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np
 
-from hcunet_tpu.config import TileConfig
 from hcunet_tpu.core.shapes import calculate_indexes
 from hcunet_tpu.infer.candidates import empty_candidates, merge_cell_candidates
 

@@ -13,7 +13,6 @@ per-center full-volume distance pass.
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import numpy as np
 from scipy import ndimage as ndi

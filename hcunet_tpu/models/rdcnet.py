@@ -16,7 +16,7 @@ into independent MXU calls that overlap fine.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

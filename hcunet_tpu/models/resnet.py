@@ -12,7 +12,7 @@ Returns the C2..C5 feature maps for FPN consumption.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ GPU stages (forcing device→host→device round trips):
 from __future__ import annotations
 
 import functools
-import math
 from typing import Sequence
 
 import jax

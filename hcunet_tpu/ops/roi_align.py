@@ -14,7 +14,6 @@ dynamic-gather, which is efficient for the modest RoI counts here
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

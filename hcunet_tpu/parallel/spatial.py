@@ -22,7 +22,6 @@ mirror only reads voxels the edge device already owns.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Tuple
 
 import jax

@@ -23,9 +23,8 @@ import io
 import json
 import os
 import zipfile
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional
 
-import numpy as np
 
 import hcunet_tpu
 from hcunet_tpu.config import config_from_dict, config_to_dict
