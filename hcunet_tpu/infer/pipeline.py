@@ -130,22 +130,17 @@ def analyze(
 
                 candidates = empty_candidates()
 
-            # --- semantic segmentation (hot loop #1) ---
+            # --- semantic segmentation (hot loop #1) with the fused
+            # blur/floor/rescale epilogue (main.py:130-132) on device ---
             prob = predict_segmentation_mask(
                 unet_apply,
                 jnp.asarray(norm[None], jnp.float32),
                 cfg.unet,
                 cfg.tiles,
                 use_probability_map=True,
+                postprocess=(cfg.gaussian_sigma, cfg.prob_floor, cfg.prob_scale),
             )
-            prob = np.asarray(prob)[0, ..., 0]  # [X, Y, Z]
-
-            # --- blur, floor, rescale (main.py:130-132) ---
-            from scipy import ndimage as ndi
-
-            prob = ndi.gaussian_filter(prob, sigma=cfg.gaussian_sigma, mode="nearest")
-            prob[prob < cfg.prob_floor] = 0
-            prob = (prob * cfg.prob_scale).astype(np.float32)
+            prob = np.asarray(prob)[0, ..., 0].astype(np.float32)  # [X, Y, Z]
 
             # --- instance watershed (hot loop #3) ---
             unique_mask, _seed = generate_unique_segmentation_mask(

@@ -63,6 +63,7 @@ def _check_geometry(
         "use_probability_map",
         "threshold",
         "n_tiles",
+        "postprocess",
     ),
 )
 def _tiled_forward(
@@ -75,6 +76,7 @@ def _tiled_forward(
     n_tiles: Tuple[int, ...],
     use_probability_map: bool,
     threshold: float,
+    postprocess: Optional[Tuple[float, float, float]] = None,
 ):
     """Scrub, pad, and evaluate the regular tile grid — one fused program.
 
@@ -151,7 +153,17 @@ def _tiled_forward(
         1, nx * eval_size[0], ny * eval_size[1], nz * eval_size[2], c_out
     )
     # trim grid-rounding overhang back to the true volume
-    return full[:, : spatial[0], : spatial[1], : spatial[2], :]
+    full = full[:, : spatial[0], : spatial[1], : spatial[2], :]
+
+    if postprocess is not None:
+        # fused pipeline epilogue (hcat/main.py:130-132): gaussian blur,
+        # probability floor, rescale — on device instead of a host round trip
+        from hcunet_tpu.ops.filters import gaussian_blur
+
+        sigma, floor, scale = postprocess
+        full = gaussian_blur(full, sigma, axes=(1, 2, 3))
+        full = jnp.where(full < floor, 0.0, full) * scale
+    return full
 
 
 def predict_segmentation_mask(
@@ -162,8 +174,13 @@ def predict_segmentation_mask(
     *,
     use_probability_map: bool = False,
     mask_cell_prob_threshold: float = 0.5,
+    postprocess: Optional[Tuple[float, float, float]] = None,
 ) -> jnp.ndarray:
     """Tiled semantic segmentation of a whole volume.
+
+    ``postprocess=(sigma, floor, scale)`` fuses the pipeline's
+    blur/floor/rescale stage (``hcat/main.py:130-132``) into the same device
+    program (only meaningful with ``use_probability_map``).
 
     ``apply_fn`` maps a batch of tiles ``[B, tx, ty, tz, C]`` to logits of
     the model's valid output shape.  ``image`` is ``[1, X, Y, Z, C]``
@@ -200,6 +217,7 @@ def predict_segmentation_mask(
         n_tiles=n_tiles,
         use_probability_map=bool(use_probability_map),
         threshold=float(mask_cell_prob_threshold),
+        postprocess=None if postprocess is None else tuple(postprocess),
     )
 
 

@@ -180,3 +180,26 @@ def test_insufficient_pad_raises(small_unet):
         predict_segmentation_mask(
             apply_fn, img, cfg, TileConfig(eval_size=(48, 48, 8), pad=(4, 4, 4))
         )
+
+
+def test_fused_postprocess_matches_scipy(small_unet):
+    """postprocess=(sigma, floor, scale) inside the jit equals the host-side
+    scipy sequence the reference runs (main.py:130-132)."""
+    from scipy import ndimage as ndi
+
+    cfg, apply_fn = small_unet
+    img = jax.random.uniform(jax.random.PRNGKey(9), (1, 96, 96, 8, 4))
+    tc = TileConfig(eval_size=(48, 48, 8), pad=(40, 40, 4), batch=2)
+    plain = np.asarray(
+        predict_segmentation_mask(apply_fn, img, cfg, tc, use_probability_map=True)
+    )[0, ..., 0]
+    fused = np.asarray(
+        predict_segmentation_mask(
+            apply_fn, img, cfg, tc, use_probability_map=True,
+            postprocess=(3.0, 0.25, 10.0),
+        )
+    )[0, ..., 0]
+    want = ndi.gaussian_filter(plain, sigma=3.0, mode="nearest", truncate=4.0)
+    want[want < 0.25] = 0
+    want = want * 10.0
+    np.testing.assert_allclose(fused, want, atol=1e-3)
