@@ -215,34 +215,63 @@ def auto_tile_config(
     unet: UNetConfig,
     hbm_bytes: Optional[int] = None,
     z_extent: int = 15,
+    bytes_per_elem: int = 2,  # bf16 inference
 ) -> TileConfig:
-    """Pick tile geometry from available HBM.
+    """Pick tile geometry from the network's shrink and available HBM.
 
-    Replaces the reference's hand lookup tables keyed on
-    {4,6,8,11} GB GPUs (``hcat/segment.py:48-57``): estimate the activation
-    footprint of one tile and choose the largest MXU-friendly tile plus batch
-    that fits in a conservative fraction of HBM.
+    Replaces the reference's hand lookup tables keyed on {4,6,8,11} GB GPUs
+    (``hcat/segment.py:48-57``):
+
+    * the halo is the *measured* valid-conv shrink of the architecture
+      (rounded up to a multiple of 8), not a guessed constant — the
+      reference's PAD=128 wastes ~2.5x compute vs the actual (50,50,4);
+    * the tile side and batch are chosen so the first-level activation
+      footprint fits a conservative fraction of HBM, preferring more tiles
+      per dispatch (amortizes dispatch latency) over bigger tiles.
     """
+    from hcunet_tpu.core.shapes import unet_shrinkage
+
     if hbm_bytes is None:
         hbm_bytes = device_hbm_bytes() or 16 * 2**30
-    budget = int(hbm_bytes * 0.6)
+    budget = int(hbm_bytes * 0.5)
 
-    candidates = [128, 192, 256, 320, 384, 448, 512]
-    best = TileConfig(eval_size=(128, 128, min(6, z_extent)), pad=(128, 128, 10))
-    for side in candidates:
-        # activation bytes per tile ≈ sum of level footprints; first level
-        # dominates: (side+2*pad)^2 * z * C1 * 4 bytes * ~3 tensors alive.
-        pad = 64
-        tz = min(z_extent, 15)
-        in_side = side + 2 * pad
-        c1 = unet.feature_sizes[0]
-        per_tile = in_side * in_side * (tz + 20) * c1 * 4 * 3
-        batch = max(1, budget // max(per_tile, 1))
+    tz = min(z_extent, 15)
+
+    def shrink_at(side: int, pad_xy: int, pad_z: int):
+        probe = (side + 2 * pad_xy, side + 2 * pad_xy)
+        if unet.image_dimensions == 3:
+            probe = probe + (tz + 2 * pad_z,)
+        try:
+            return unet_shrinkage(probe, **unet.shape_kwargs())
+        except ValueError:
+            return (64, 64, 8)
+
+    # shrink depends (mildly) on the input size via pooling floors — iterate
+    # to a fixed point at a representative tile side.
+    pad_xy, pad_z = 48, 4 if unet.image_dimensions == 3 else 0
+    for _ in range(3):
+        s = shrink_at(512, pad_xy, pad_z)
+        new_xy = -(-max(s[0], s[1]) // 8) * 8
+        new_z = s[2] if unet.image_dimensions == 3 else 0
+        if (new_xy, new_z) == (pad_xy, pad_z):
+            break
+        pad_xy, pad_z = new_xy, new_z
+
+    best = TileConfig(
+        eval_size=(128, 128, tz), pad=(pad_xy, pad_xy, pad_z), batch=1
+    )
+    c1 = unet.feature_sizes[0]
+    for side in (256, 384, 512):
+        in_side = side + 2 * pad_xy
+        in_z = tz + 2 * pad_z
+        # ~4 first-level-sized tensors alive per tile through the pipeline
+        per_tile = in_side * in_side * in_z * c1 * bytes_per_elem * 4
+        batch = min(6, max(1, budget // max(per_tile, 1)))
         if per_tile <= budget:
             best = TileConfig(
                 eval_size=(side, side, tz),
-                pad=(pad, pad, 10),
-                batch=int(min(batch, 8)),
+                pad=(pad_xy, pad_xy, pad_z),
+                batch=int(batch),
             )
     return best
 

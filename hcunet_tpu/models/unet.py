@@ -168,6 +168,23 @@ class UNet(nn.Module):
             raise ValueError(
                 f"expected {cfg.in_channels} channels, got {x.shape[-1]}"
             )
+        # valid convs shrink every level; a too-small input silently produces
+        # empty feature maps and NaN batch-norm statistics — fail loudly with
+        # the predicted output shape instead.
+        from hcunet_tpu.core.shapes import unet_output_shape
+
+        try:
+            out_spatial = unet_output_shape(x.shape[1:-1], **cfg.shape_kwargs())
+        except ValueError as e:
+            raise ValueError(
+                f"input spatial {tuple(x.shape[1:-1])} too small for this "
+                f"U-Net: {e}"
+            ) from None
+        if any(s <= 0 for s in out_spatial):
+            raise ValueError(
+                f"input spatial {tuple(x.shape[1:-1])} yields empty output "
+                f"{out_spatial}; increase the input/tile size"
+            )
         feats = cfg.feature_sizes
         skips = []
         for i, f in enumerate(feats[:-1]):

@@ -32,3 +32,14 @@ def test_auto_tile_config_fits_small_hbm():
     big = auto_tile_config(UNetConfig.production_3d(), hbm_bytes=32 * 2**30)
     assert small.eval_size[0] <= big.eval_size[0]
     assert small.batch >= 1
+
+
+def test_auto_tile_config_halo_covers_shrink():
+    from hcunet_tpu.core.shapes import unet_shrinkage
+
+    cfg = UNetConfig.production_3d()
+    tc = auto_tile_config(cfg, hbm_bytes=16 * 2**30)
+    tile_in = tuple(e + 2 * p for e, p in zip(tc.eval_size, tc.pad))
+    shrink = unet_shrinkage(tile_in, **cfg.shape_kwargs())
+    assert all(p >= s for p, s in zip(tc.pad, shrink)), (tc, shrink)
+    assert tc.batch >= 1

@@ -182,3 +182,41 @@ def test_unet_gradient_parity_with_reference(reference_pair):
     np.testing.assert_allclose(
         g_out, np.transpose(ref_out_grad, (2, 3, 4, 1, 0)), atol=2e-5, rtol=1e-3
     )
+
+
+def test_readme_2d_quickstart_trains():
+    """BASELINE config #1: the README-quickstart 2D U-Net (which the torch
+    reference cannot even construct) initializes, runs, and takes a
+    gradient step."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from hcunet_tpu.models.unet import init_unet
+    from hcunet_tpu.train.losses import cross_entropy
+
+    cfg = UNetConfig.readme_2d()
+    model, variables = init_unet(cfg, jax.random.PRNGKey(0), (188, 188))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 188, 188, 4))
+    out = model.apply(variables, x, train=False)
+    assert out.ndim == 4 and out.shape[-1] == 1
+
+    mask = (jax.random.uniform(jax.random.PRNGKey(2), out.shape) > 0.5).astype(
+        jnp.float32
+    )
+
+    def loss_fn(p):
+        o, upd = model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]},
+            x, train=True, mutable=["batch_stats"],
+        )
+        return cross_entropy(o, mask, None)
+
+    g = jax.grad(loss_fn)(variables["params"])
+    tx = optax.adam(1e-3)
+    state = tx.init(variables["params"])
+    upd, _ = tx.update(g, state)
+    new = optax.apply_updates(variables["params"], upd)
+    assert jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda a: bool(jnp.isfinite(a).all()), new)
+    )
