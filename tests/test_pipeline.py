@@ -155,3 +155,86 @@ def test_batch_host_sharding(tmp_path):
     run_batch(str(root), lambda img, out: seen2.append(img), shard=(1, 2))
     assert len(seen) + len(seen2) == 5
     assert not set(seen) & set(seen2)
+
+
+def test_analyze_with_trained_detector_localizes_cells(tmp_path):
+    """Showcase integration: train a small detector on synthetic blob
+    slices, run the full analyze() pipeline, and check the extracted
+    HairCells sit on the true blobs."""
+    import jax.numpy as jnp
+
+    from hcunet_tpu.core.shapes import unet_output_shape
+    from hcunet_tpu.train.detection_trainer import (
+        DetectionTrainConfig,
+        DetectionTrainer,
+    )
+
+    X, Y, Z = 96, 96, 6
+    centers = [(24, 24), (24, 72), (72, 48)]
+    xx, yy, zz = np.meshgrid(np.arange(X), np.arange(Y), np.arange(Z), indexing="ij")
+    prob = np.zeros((X, Y, Z), np.float32)
+    for cx, cy in centers:
+        prob = np.maximum(
+            prob,
+            np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / 60 + (zz - 3) ** 2 / 6)),
+        ).astype(np.float32)
+    volume = np.repeat(prob[..., None], 4, axis=-1)
+
+    # --- a synthetic "unet": crops to the valid output shape and maps
+    # intensity -> logits (keeps the tiling geometry honest) ---
+    unet_cfg = UNetConfig(
+        feature_sizes=(8, 16), kernel1=(3, 3, 2), kernel2=(3, 3, 1),
+        upsample_kernel=(4, 4, 2), max_pool_kernel=(2, 2, 1),
+        upsample_stride=(2, 2, 1), groups=1,
+    )
+
+    def unet_apply(tiles):
+        out_sp = unet_output_shape(tiles.shape[1:-1], **unet_cfg.shape_kwargs())
+        core = tiles[:, : out_sp[0], : out_sp[1], : out_sp[2], :1]
+        # normalized input is in [-1, 1]; map to confident logits
+        return core * 8.0
+
+    # --- train the detector on the volume's z-slices ---
+    det_cfg = DetectorConfig(
+        num_classes=2, max_detections=8, rpn_pre_nms_top_n=64,
+        rpn_post_nms_top_n=16, anchor_sizes=(16, 32, 64, 128, 256),
+        box_score_thresh=0.1,
+    )
+    det = Detector(det_cfg, backbone="small")
+    det_vars = det.init(jax.random.PRNGKey(0), (X, Y))
+    # normalized slice (like the pipeline feeds) + GT boxes in detector axes
+    norm_slice = ((volume[..., 3, :3] - 0.5) / 0.5).astype(np.float32)[None]
+    gt = np.array(
+        [[cy - 9, cx - 9, cy + 9, cx + 9] for cx, cy in centers], np.float32
+    )  # detector x = array dim1
+    labels = np.ones(len(gt), np.int32)
+    tr = DetectionTrainer(
+        det, det_vars,
+        DetectionTrainConfig(learning_rate=3e-4, gamma=1.0, max_gt=8),
+    )
+    for _ in range(80):
+        tr.train_step(norm_slice, gt, labels)
+
+    result = analyze(
+        volume=volume,
+        unet_apply=jax.tree_util.Partial(lambda t: unet_apply(t)),
+        detector=det,
+        detector_variables=tr.variables,
+        cfg=PipelineConfig(
+            numchunks=2,
+            unet=unet_cfg,
+            tiles=TileConfig(eval_size=(96, 96, 6), pad=(24, 24, 3), batch=1),
+            watershed=WatershedConfig(expand_mask=2, z_tolerance=3),
+        ),
+        work_dir=str(tmp_path / "work"),
+        fit_cochlea=False,
+    )
+    good = [c for c in result.cells if not c.is_bad]
+    assert len(good) >= 2, f"expected >=2 cells, got {len(good)}"
+    found = 0
+    for cx, cy in centers:
+        for c in good:
+            if abs(c.center[0] - cx) < 8 and abs(c.center[1] - cy) < 8:
+                found += 1
+                break
+    assert found >= 2, [c.center for c in good]
