@@ -1,0 +1,106 @@
+"""Serving wrapper: compile once, segment many volumes.
+
+Production cochlea batches arrive in assorted sizes; naive jit would
+recompile the tiled program for every distinct volume shape (20–40 s each on
+this hardware).  :class:`Segmenter` binds model + tile geometry once and
+**buckets** incoming volume shapes to a small set of canonical padded sizes
+(multiples of the tile core), so any stream of volumes reuses a handful of
+compiled programs.
+
+    seg = Segmenter.from_checkpoint("unet.hcunet")
+    mask = seg.predict(volume)            # [X, Y, Z, C] numpy in, numpy out
+
+Also exposes warmup() so deployments can pay all compilations at startup.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from hcunet_tpu.config import TileConfig, UNetConfig, auto_tile_config
+from hcunet_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+class Segmenter:
+    def __init__(
+        self,
+        model,
+        variables: Dict,
+        tile_cfg: Optional[TileConfig] = None,
+        use_probability_map: bool = True,
+        postprocess: Optional[Tuple[float, float, float]] = None,
+        dtype=None,
+    ):
+        import jax
+
+        self.model = model
+        self.variables = variables
+        self.cfg: UNetConfig = model.config
+        self.tile_cfg = tile_cfg or auto_tile_config(self.cfg)
+        self.use_probability_map = use_probability_map
+        self.postprocess = postprocess
+        self.apply_fn = jax.tree_util.Partial(
+            lambda v, t: model.apply(v, t, train=False), variables
+        )
+
+    @classmethod
+    def from_checkpoint(cls, path: str, dtype=None, **kwargs) -> "Segmenter":
+        from hcunet_tpu.utils.checkpoint import load_unet
+
+        model, variables, _ = load_unet(path)
+        if dtype is not None:
+            from hcunet_tpu.models.unet import UNet
+
+            model = UNet(model.config, dtype=dtype)
+        return cls(model, variables, **kwargs)
+
+    # -- shape bucketing ------------------------------------------------------
+
+    def bucket_shape(self, spatial: Sequence[int]) -> Tuple[int, ...]:
+        """Round a volume shape up to the tile-core grid so distinct inputs
+        share compiled programs."""
+        ev = self.tile_cfg.eval_size
+        return tuple(
+            int(-(-s // e) * e) if s > e else int(s)
+            for s, e in zip(spatial, ev)
+        )
+
+    def predict(self, volume: np.ndarray) -> np.ndarray:
+        """``volume``: [X, Y, Z, C] (already normalized).  Returns
+        [X, Y, Z] float probabilities (or uint8 mask)."""
+        import jax.numpy as jnp
+
+        if volume.ndim != 4:
+            raise ValueError(f"expected [X, Y, Z, C], got {volume.shape}")
+        spatial = volume.shape[:-1]
+        bucket = self.bucket_shape(spatial)
+        if bucket != tuple(spatial):
+            widths = [(0, b - s) for s, b in zip(spatial, bucket)] + [(0, 0)]
+            volume = np.pad(volume, widths, mode="symmetric" if all(
+                b - s <= s for s, b in zip(spatial, bucket)
+            ) else "edge")
+            log.info("bucketed %s -> %s", tuple(spatial), bucket)
+
+        from hcunet_tpu.infer.tiling import predict_segmentation_mask
+
+        out = predict_segmentation_mask(
+            self.apply_fn,
+            jnp.asarray(volume[None], jnp.float32),
+            self.cfg,
+            self.tile_cfg,
+            use_probability_map=self.use_probability_map,
+            postprocess=self.postprocess,
+        )
+        out = np.asarray(out)[0, ..., 0]
+        return out[: spatial[0], : spatial[1], : spatial[2]]
+
+    def warmup(self, shapes: Sequence[Sequence[int]]) -> None:
+        """Compile the programs for a set of expected volume shapes."""
+        for sp in shapes:
+            c = self.cfg.in_channels
+            self.predict(np.zeros((*self.bucket_shape(sp), c), np.float32))
+            log.info("warmed %s", tuple(sp))

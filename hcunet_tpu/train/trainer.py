@@ -154,6 +154,31 @@ class UNetTrainer:
         hp.update(hyperparameters or {})
         save_checkpoint(path, self.variables, cfg_obj, hp)
 
+    def save_training_state(self, path: str) -> None:
+        """Full resume state: variables + optimizer state.
+
+        The reference never checkpointed optimizer state (SURVEY.md §5.4 —
+        'training resume = re-load weights and go'); production training
+        needs exact resume, so Adam moments are included.
+        """
+        from flax import serialization
+
+        blob = serialization.to_bytes(
+            {"variables": self.variables, "opt_state": self.opt_state}
+        )
+        with open(path, "wb") as f:
+            f.write(blob)
+
+    def load_training_state(self, path: str) -> None:
+        from flax import serialization
+
+        template = {"variables": self.variables, "opt_state": self.opt_state}
+        with open(path, "rb") as f:
+            state = serialization.from_bytes(template, f.read())
+        self.params = state["variables"]["params"]
+        self.batch_stats = state["variables"].get("batch_stats", {})
+        self.opt_state = state["opt_state"]
+
 
 class RecurrentTrainer(UNetTrainer):
     """r-unet/RDCNet recipe: out[..., 0] is the probability channel trained
