@@ -47,11 +47,14 @@ def predict_cell_candidates(
     X, Y, Z = image.shape[:3]
     eval_size = [min(e, s) for e, s in zip(eval_size, (X, Y))]
 
-    if eval_size[0] >= X:
+    # whole-axis window whenever a tiled grid can't fit (axis < eval+2*pad):
+    # calculate_indexes' right-aligned fallback would otherwise produce a
+    # negative start that numpy slice-wraps, misplacing detections.
+    if X < eval_size[0] + 2 * pad[0]:
         x_ind = [[0, X]]
     else:
         x_ind = calculate_indexes(pad[0], eval_size[0], X, X)
-    if eval_size[1] >= Y:
+    if Y < eval_size[1] + 2 * pad[1]:
         y_ind = [[0, Y]]
     else:
         y_ind = calculate_indexes(pad[1], eval_size[1], Y, Y)

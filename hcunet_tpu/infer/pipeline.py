@@ -91,6 +91,10 @@ def analyze(
         log.info("loading image %s", path)
         volume = _load_volume(path)
     X, Y, Z, C = volume.shape
+
+    # journal fingerprint: a reused work_dir must belong to this exact
+    # volume + chunking, or cached chunks would silently mix images.
+    _check_journal_fingerprint(work_dir, volume, cfg.numchunks)
     mean = np.asarray(cfg.normalize_mean[:C])
     std = np.asarray(cfg.normalize_std[:C])
 
@@ -165,8 +169,6 @@ def analyze(
 
     if save_plots:
         render_size(unique_mask, os.path.join(work_dir, "size_validation.tif"))
-    else:
-        render_size(unique_mask, None)
 
     curve = pct = apex = None
     if fit_cochlea:
@@ -183,6 +185,42 @@ def analyze(
 
     cells_to_csv(all_cells, os.path.join(work_dir, "cells.csv"))
     return AnalyzeResult(mask, unique_mask, all_cells, curve, pct, apex)
+
+
+def _volume_fingerprint(volume: np.ndarray, numchunks: int) -> str:
+    import hashlib
+
+    h = hashlib.sha1()
+    h.update(str((volume.shape, str(volume.dtype), numchunks)).encode())
+    # sample a deterministic sparse stride of the data — cheap but catches
+    # a different image in the same-shaped container
+    flat = volume.reshape(-1)
+    h.update(np.ascontiguousarray(flat[:: max(1, flat.size // 4096)]).tobytes())
+    return h.hexdigest()
+
+
+def _check_journal_fingerprint(work_dir: str, volume: np.ndarray, numchunks: int):
+    import json
+
+    fp = _volume_fingerprint(volume, numchunks)
+    path = os.path.join(work_dir, "journal.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            recorded = json.load(f).get("fingerprint")
+        if recorded != fp:
+            raise ValueError(
+                f"work_dir {work_dir!r} holds a journal for a different "
+                f"volume/chunking — use a fresh work_dir or delete it"
+            )
+    else:
+        if any(f.endswith(PART_EXT) for f in os.listdir(work_dir)):
+            raise ValueError(
+                f"work_dir {work_dir!r} has chunk parts but no journal — "
+                f"refusing to mix; use a fresh work_dir"
+            )
+        with open(path, "w") as f:
+            json.dump({"fingerprint": fp, "numchunks": numchunks,
+                       "shape": list(volume.shape)}, f)
 
 
 def _save_cells(path: str, cells: List[HairCell]) -> None:

@@ -37,6 +37,8 @@ class Segmenter:
     ):
         import jax
 
+        if dtype is not None and getattr(model, "dtype", None) != dtype:
+            model = type(model)(model.config, dtype=dtype)
         self.model = model
         self.variables = variables
         self.cfg: UNetConfig = model.config
@@ -52,11 +54,7 @@ class Segmenter:
         from hcunet_tpu.utils.checkpoint import load_unet
 
         model, variables, _ = load_unet(path)
-        if dtype is not None:
-            from hcunet_tpu.models.unet import UNet
-
-            model = UNet(model.config, dtype=dtype)
-        return cls(model, variables, **kwargs)
+        return cls(model, variables, dtype=dtype, **kwargs)
 
     # -- shape bucketing ------------------------------------------------------
 

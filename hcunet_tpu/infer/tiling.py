@@ -80,10 +80,11 @@ def _tiled_forward(
 ):
     """Scrub, pad, and evaluate the regular tile grid — one fused program.
 
-    ``image``: [1, X, Y, Z, C] (donated).  Returns the trimmed
-    [1, X, Y, Z, Cout] result.  Everything lives in a single jit so a call
-    costs one dispatch — important on remote-attached TPUs where each eager
-    op pays a host round-trip.
+    ``image``: [1, X, Y, Z, C] (not donated — callers may reuse the buffer
+    across calls, e.g. benchmarking and multi-pass pipelines).  Returns the
+    trimmed [1, X, Y, Z, Cout] result.  Everything lives in a single jit so
+    a call costs one dispatch — important on remote-attached TPUs where each
+    eager op pays a host round-trip.
     """
     spatial = image.shape[1:-1]
 

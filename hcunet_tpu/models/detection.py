@@ -254,17 +254,21 @@ class Detector:
             top_scores, idx = jax.lax.top_k(scores, k)
             boxes = decode_boxes(a[idx], deltas[idx], self.RPN_WEIGHTS)
             boxes = clip_boxes(boxes, hw)
+            # NMS within the level (torchvision runs batched_nms with the
+            # level as the batch id — cross-level suppression would eat
+            # small-object proposals under large ones)
+            wh_ok = (
+                (boxes[:, 2] > boxes[:, 0] + 1e-3)
+                & (boxes[:, 3] > boxes[:, 1] + 1e-3)
+            )
+            lvl_scores = jnp.where(wh_ok, top_scores, -jnp.inf)
+            keep = nms_mask(boxes, lvl_scores, cfg.rpn_nms_thresh)
             all_boxes.append(boxes)
-            all_scores.append(top_scores)
+            all_scores.append(jnp.where(keep, lvl_scores, -jnp.inf))
         boxes = jnp.concatenate(all_boxes)
         scores = jnp.concatenate(all_scores)
-        # drop degenerate boxes
-        wh_ok = (boxes[:, 2] > boxes[:, 0] + 1e-3) & (boxes[:, 3] > boxes[:, 1] + 1e-3)
-        scores = jnp.where(wh_ok, scores, -jnp.inf)
-        keep = nms_mask(boxes, scores, cfg.rpn_nms_thresh)
-        masked_scores = jnp.where(keep, scores, -jnp.inf)
         n_prop = cfg.rpn_post_nms_top_n
-        top, idx = jax.lax.top_k(masked_scores, min(n_prop, masked_scores.shape[0]))
+        top, idx = jax.lax.top_k(scores, min(n_prop, scores.shape[0]))
         props = boxes[idx]
         valid = jnp.isfinite(top)
         return props, valid
@@ -394,10 +398,12 @@ class Detector:
         best_gt = jnp.argmax(iou, axis=1)
         best_iou = jnp.max(iou, axis=1)
         pos = best_iou >= 0.7
-        # every GT's best anchor is positive too
+        # every valid GT's best anchor is positive too; use a max-scatter so
+        # a padded GT slot (argmaxing to anchor 0) can't clobber a True
+        # written for a real GT sharing that index.
         best_anchor_per_gt = jnp.argmax(iou, axis=0)  # [G]
         force_pos = jnp.zeros(anchors.shape[0], bool)
-        force_pos = force_pos.at[best_anchor_per_gt].set(gt_valid)
+        force_pos = force_pos.at[best_anchor_per_gt].max(gt_valid)
         pos = pos | force_pos
         neg = (best_iou < 0.3) & ~pos
         matched_gt = gt_boxes[best_gt]

@@ -174,15 +174,27 @@ class RecursiveUNet(nn.Module):
             "out_bias", nn.initializers.zeros, (cfg.out_channels,), jnp.float32
         )
 
-        pooled = tuple(s // k for s, k in zip(spatial, cfg.max_pool_kernel))
-
         def step(carry, _):
             s_t, h_t = carry
+            if s_t.shape[1:-1] != spatial:
+                # odd xy sizes lose a pixel through pool->upsample; the
+                # reference simply crashes there (torch cat shape mismatch
+                # at t=1) — zero-pad the state back instead. Identity for
+                # the even sizes the reference supports.
+                widths = [(0, 0)] + [
+                    (0, s - c) for s, c in zip(spatial, s_t.shape[1:-1])
+                ] + [(0, 0)]
+                s_t = jnp.pad(s_t, widths)
             x = jnp.concatenate([image.astype(self.dtype), s_t], axis=-1)
             x = down1(x, train)
             a = x
             x = max_pool(x, cfg.max_pool_kernel)
             h = jnp.tanh(fh(x, train))
+            if h_t is None:
+                # the reference sizes h_t from the first h (r_unet.py:151-152)
+                # — sizing it statically from spatial//2 breaks for odd
+                # half-resolutions, where the gate branch loses a pixel.
+                h_t = jnp.ones_like(h)
             z = jax.nn.sigmoid(fz(x, train))
             h_t = h_t * z + (-1.0 * z * h)  # r_unet.py:155, verbatim
             x = up2(h_t, a, train)
@@ -190,12 +202,8 @@ class RecursiveUNet(nn.Module):
             return (x, h_t), (x if return_sequence else 0.0)
 
         s0 = jnp.zeros((B, *spatial, cfg.out_channels), self.dtype)
-        # h_t is initialized to ones *after* the first h is computed in the
-        # reference (r_unet.py:151-152); equivalent to starting the scan with
-        # ones since the t=0 update uses h_t = 1.
-        h0 = jnp.ones((B, *pooled, c1), self.dtype)
 
-        (s_t, h_t), seq = self._run_scan(step, (s0, h0), cfg.timesteps)
+        (s_t, h_t), seq = self._run_scan(step, (s0, None), cfg.timesteps)
         return (s_t, seq) if return_sequence else s_t
 
     def _run_scan(self, step, carry, length):

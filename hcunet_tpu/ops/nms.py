@@ -62,18 +62,49 @@ def nms_mask(
     return keep
 
 
-def nms_indices(boxes, scores, iou_threshold=0.5, valid=None):
-    """torchvision-style: indices of kept boxes in descending-score order
-    (host-side convenience; dynamic shape, do not jit)."""
-    keep = nms_mask(
-        jnp.asarray(boxes, jnp.float32),
-        jnp.asarray(scores, jnp.float32),
-        float(iou_threshold),
-        None if valid is None else jnp.asarray(valid),
-    )
+def nms_indices_np(boxes, scores, iou_threshold=0.5):
+    """Greedy NMS on host numpy — same keep set as :func:`nms_mask`.
+
+    Candidate merging runs on host with a different N on nearly every call;
+    jitting there would force a fresh XLA compile per length, so the host
+    loop uses plain numpy (vectorized IoU row per survivor).
+    """
     import numpy as np
 
-    keep = np.asarray(keep)
-    scores = np.asarray(scores)
-    idx = np.nonzero(keep)[0]
-    return idx[np.argsort(-scores[idx], kind="stable")]
+    boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+    scores = np.asarray(scores, np.float32)
+    n = len(scores)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    x1, y1, x2, y2 = boxes.T
+    areas = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    suppressed = np.zeros(n, bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        xx1 = np.maximum(x1[i], x1)
+        yy1 = np.maximum(y1[i], y1)
+        xx2 = np.minimum(x2[i], x2)
+        yy2 = np.minimum(y2[i], y2)
+        inter = np.clip(xx2 - xx1, 0, None) * np.clip(yy2 - yy1, 0, None)
+        union = areas[i] + areas - inter
+        iou = np.where(union > 0, inter / union, 0.0)
+        suppressed |= iou > iou_threshold
+        suppressed[i] = True
+    return np.asarray(keep, np.int64)
+
+
+def nms_indices(boxes, scores, iou_threshold=0.5, valid=None):
+    """torchvision-style: indices of kept boxes in descending-score order
+    (host-side; plain numpy, no recompiles)."""
+    import numpy as np
+
+    boxes = np.asarray(boxes)
+    scores = np.asarray(scores, np.float32)
+    if valid is not None:
+        scores = np.where(np.asarray(valid), scores, -np.inf)
+    keep = nms_indices_np(boxes, scores, iou_threshold)
+    return keep[np.isfinite(scores[keep])]

@@ -76,8 +76,8 @@ def roi_align(
     # ys: [N, out, s] ; xs: [N, out, s]
     ys = y1[:, None, None] + (ii[None, :, None] + kk[None, None, :]) * bin_h[:, None, None]
     xs = x1[:, None, None] + (ii[None, :, None] + kk[None, None, :]) * bin_w[:, None, None]
-    ys = ys - 0.5  # align_corners=False / pixel-center offset
-    xs = xs - 0.5
+    # torchvision's detection models use aligned=False (no half-pixel
+    # shift) — ported fasterrcnn heads were trained against that sampling.
 
     def per_roi(y_r, x_r):
         # full grid [out, s, out, s]

@@ -238,3 +238,19 @@ def test_analyze_with_trained_detector_localizes_cells(tmp_path):
                 found += 1
                 break
     assert found >= 2, [c.center for c in good]
+
+
+def test_work_dir_fingerprint_guard(tmp_path, tiny_models, rng):
+    """Reusing a work_dir for a different volume must fail loudly instead of
+    mixing cached chunks."""
+    unet_cfg, unet_apply, _, _ = tiny_models
+    work = str(tmp_path / "work")
+    vol_a = rng.random((64, 64, 6, 4)).astype(np.float32)
+    vol_b = rng.random((64, 64, 6, 4)).astype(np.float32)
+    analyze(volume=vol_a, unet_apply=unet_apply, detector=None,
+            detector_variables=None, cfg=_pipeline_cfg(unet_cfg),
+            work_dir=work, fit_cochlea=False)
+    with pytest.raises(ValueError, match="different"):
+        analyze(volume=vol_b, unet_apply=unet_apply, detector=None,
+                detector_variables=None, cfg=_pipeline_cfg(unet_cfg),
+                work_dir=work, fit_cochlea=False)
