@@ -24,8 +24,10 @@ from hcunet_tpu.config import UNetConfig
 
 
 def _np(t) -> np.ndarray:
-    try:  # torch tensor
-        return t.detach().cpu().numpy()
+    try:  # torch tensor — copy: .numpy() aliases live torch storage, so an
+        # in-place optimizer step on the source module would silently mutate
+        # already-ported weights.
+        return t.detach().cpu().numpy().copy()
     except AttributeError:
         return np.asarray(t)
 

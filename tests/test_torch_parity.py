@@ -220,3 +220,79 @@ def test_readme_2d_quickstart_trains():
     assert jax.tree_util.tree_all(
         jax.tree_util.tree_map(lambda a: bool(jnp.isfinite(a).all()), new)
     )
+
+
+def test_matched_sgd_training_trajectory():
+    """Train the ported model and the torch reference from identical weights
+    with plain SGD on identical data for several steps; parameters must stay
+    numerically matched — forward, loss, and gradient parity compounding
+    through an optimizer (the dice-parity gate of BASELINE.md, provable
+    without the stripped reference checkpoints)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from hcunet_tpu.models.unet import UNet
+    from hcunet_tpu.train.losses import cross_entropy
+    from tests.reference_loader import reference_loss_module, reference_unet_module
+
+    U = reference_unet_module()
+    L = reference_loss_module()
+    torch.manual_seed(33)
+    net = U.Unet_Constructor(
+        image_dimensions=3, in_channels=4, out_channels=1,
+        feature_sizes=[8, 16],
+        kernel={"conv1": (3, 3, 2), "conv2": (3, 3, 1)},
+        upsample_kernel=(4, 4, 2), max_pool_kernel=(2, 2, 1),
+        upsample_stride=(2, 2, 1), dilation=1, groups=1,
+    )
+    net.eval()  # eval-mode BN on both sides: isolates optimizer dynamics
+    cfg = UNetConfig(
+        feature_sizes=(8, 16), kernel1=(3, 3, 2), kernel2=(3, 3, 1),
+        upsample_kernel=(4, 4, 2), max_pool_kernel=(2, 2, 1),
+        upsample_stride=(2, 2, 1), groups=1, reference_skip_bug=True,
+    )
+    variables = unet_variables_from_torch_state_dict(net.state_dict(), cfg)
+
+    torch.manual_seed(34)
+    x = torch.randn(1, 4, 40, 40, 8)
+    mask = (torch.rand(1, 1, 32, 32, 8) > 0.6).float()
+    pwl = torch.rand(1, 1, 32, 32, 8)
+
+    lr = 0.05
+    opt = torch.optim.SGD(net.parameters(), lr=lr)
+    torch_losses = []
+    for _ in range(5):
+        opt.zero_grad()
+        loss = L.cross_entropy(net(x), mask, pwl, method="pixel")
+        loss.backward()
+        opt.step()
+        torch_losses.append(float(loss))
+
+    model = UNet(cfg)
+    xj = to_channels_last(x)
+    maskj = to_channels_last(mask)
+    pwlj = to_channels_last(pwl)
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    tx = optax.sgd(lr)
+    opt_state = tx.init(params)
+
+    def loss_fn(p):
+        out = model.apply({"params": p, "batch_stats": stats}, xj, train=False)
+        return cross_entropy(out, maskj, pwlj, method="pixel")
+
+    jax_losses = []
+    for _ in range(5):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        jax_losses.append(float(loss))
+
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=1e-4)
+    # parameters themselves stay matched after 5 coupled steps
+    w_torch = net.down_steps[0].conv1.weight.detach().numpy()
+    w_jax = np.asarray(params["down0"]["ConvBNRelu_0"]["kernel"])
+    np.testing.assert_allclose(
+        w_jax, np.transpose(w_torch, (2, 3, 4, 1, 0)), atol=1e-5, rtol=1e-4
+    )
