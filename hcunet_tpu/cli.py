@@ -66,6 +66,15 @@ def _add_preprocess(sub):
     p.add_argument("--workers", type=int, default=os.cpu_count() or 1)
 
 
+def _add_validate(sub):
+    p = sub.add_parser(
+        "validate", help="dice / pixel-error validation on a Stack dataset"
+    )
+    p.add_argument("data", help="directory of X.tif / X.mask.tif / X.pwl.tif")
+    p.add_argument("--unet", required=True)
+    p.add_argument("--threshold", type=float, default=0.5)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="hcunet", description=__doc__)
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -74,6 +83,7 @@ def main(argv=None):
     _add_train_unet(sub)
     _add_train_rcnn(sub)
     _add_preprocess(sub)
+    _add_validate(sub)
     sub.add_parser("bench", help="run the headline benchmark")
     args = parser.parse_args(argv)
 
@@ -85,6 +95,8 @@ def main(argv=None):
 
     if args.cmd == "preprocess":
         return _cmd_preprocess(args)
+    if args.cmd == "validate":
+        return _cmd_validate(args)
     if args.cmd == "train-unet":
         return _cmd_train_unet(args)
     if args.cmd == "train-rcnn":
@@ -215,6 +227,28 @@ def _cmd_train_rcnn(args):
     trainer.fit(ds)
     save_checkpoint(args.out, trainer.variables, cfg)
     print(json.dumps({"checkpoint": args.out}))
+    return 0
+
+
+def _cmd_validate(args):
+    from hcunet_tpu.analysis.validate import validate_segmentation
+    from hcunet_tpu.data import transforms as t
+    from hcunet_tpu.data.datasets import Stack
+
+    model, unet_apply, _, _ = _load_models(args.unet, None)
+    ds = Stack(
+        args.data,
+        joint_transforms=[t.to_float(), t.reshape()],
+        image_transforms=[t.normalize()],
+    )
+    results = validate_segmentation(
+        unet_apply, ds, model.config, threshold=args.threshold
+    )
+    summary = [
+        {k: r[k] for k in ("index", "dice", "missed_ratio", "false_ratio")}
+        for r in results
+    ]
+    print(json.dumps(summary, indent=2))
     return 0
 
 
