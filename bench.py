@@ -38,10 +38,12 @@ def main():
     apply_fn = jax.tree_util.Partial(
         lambda v, t: model.apply(v, t, train=False), variables
     )
-    # Tuned geometry (see BASELINE.md): pad covers the network shrink
-    # (50,50,4) — the reference's PAD (128,128,10) wastes 2.5x the compute —
-    # and batch=6 keeps the MXU fed; measured 42 MVx/s on one v5e chip.
-    tile_cfg = TileConfig(eval_size=(384, 384, 15), pad=(56, 56, 4), batch=6)
+    # Geometry from the HBM auto-tuner (derives the halo from the network's
+    # measured shrink and sizes batch/tile to HBM); on a 16 GB v5e it picks
+    # eval (384,384,15), pad (56,56,4), batch 6 — see BASELINE.md.
+    from hcunet_tpu.config import auto_tile_config
+
+    tile_cfg = auto_tile_config(cfg)
 
     key = jax.random.PRNGKey(1)
     vol = jax.random.uniform(key, (1, *shape, 4), jnp.float32)

@@ -261,7 +261,10 @@ def auto_tile_config(
         eval_size=(128, 128, tz), pad=(pad_xy, pad_xy, pad_z), batch=1
     )
     c1 = unet.feature_sizes[0]
-    for side in (256, 384, 512):
+    # side capped at 384: batching tiles amortizes dispatch better than
+    # growing tiles, and larger batched tiles crash the TPU compiler's
+    # scratch allocation on 16 GB parts (measured: 624^2x23 x6 fails).
+    for side in (256, 384):
         in_side = side + 2 * pad_xy
         in_z = tz + 2 * pad_z
         # ~4 first-level-sized tensors alive per tile through the pipeline
