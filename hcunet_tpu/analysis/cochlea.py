@@ -48,21 +48,22 @@ def fill_small_holes(binary: np.ndarray, max_diameter: int = 10) -> np.ndarray:
     inv = ~binary
     lab, n = ndi.label(inv)
     out = binary.copy()
-    for slc in ndi.find_objects(lab):
+    for comp_id, slc in enumerate(ndi.find_objects(lab), start=1):
         if slc is None:
             continue
         h = slc[0].stop - slc[0].start
         w = slc[1].stop - slc[1].start
         if max(h, w) < max_diameter:
-            region = lab[slc]
-            # only fill enclosed holes (not border-touching background)
+            # only fill enclosed holes (not border-touching background),
+            # and only this component's own pixels — the bbox may also
+            # contain pixels of other background components
             if (
                 slc[0].start > 0
                 and slc[1].start > 0
                 and slc[0].stop < binary.shape[0]
                 and slc[1].stop < binary.shape[1]
             ):
-                out[slc][region > 0] = True
+                out[slc][lab[slc] == comp_id] = True
     return out
 
 

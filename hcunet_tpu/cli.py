@@ -88,7 +88,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     if args.cmd == "bench":
-        import bench
+        from hcunet_tpu import benchmarks as bench
 
         bench.main()
         return 0

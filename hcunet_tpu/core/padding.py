@@ -67,15 +67,22 @@ def pad_to_shape(
     padding for that axis.
     """
     spatial = x.shape[1:-1]
-    widths: list[Tuple[int, int]] = [(0, 0)]
-    needs_edge = False
+    sym_widths: list[Tuple[int, int]] = [(0, 0)]
+    edge_widths: list[Tuple[int, int]] = [(0, 0)]
     for s, t in zip(spatial, target_spatial):
         if t < s:
             raise ValueError(f"pad_to_shape cannot shrink {s} -> {t}")
-        widths.append((0, t - s))
-        if t - s > s:
-            needs_edge = True
-    widths.append((0, 0))
-    if mode == "symmetric" and needs_edge:
-        mode = "edge"
-    return jnp.pad(x, widths, mode=mode)
+        # only the axis whose pad exceeds its size falls back to edge
+        # replication; other axes keep the requested mode
+        if mode == "symmetric" and t - s > s:
+            sym_widths.append((0, 0))
+            edge_widths.append((0, t - s))
+        else:
+            sym_widths.append((0, t - s))
+            edge_widths.append((0, 0))
+    sym_widths.append((0, 0))
+    edge_widths.append((0, 0))
+    out = jnp.pad(x, sym_widths, mode=mode)
+    if any(w != (0, 0) for w in edge_widths):
+        out = jnp.pad(out, edge_widths, mode="edge")
+    return out

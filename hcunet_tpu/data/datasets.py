@@ -151,12 +151,9 @@ class Section:
             labels = np.where(labels == 4, 2, labels)
 
         image = _apply_image(self.image_transforms, image, rng)
-        kept = labels
+        kept = list(labels)
         for jt in self.joint_transforms:
-            n_before = len(boxes)
-            image, boxes = jt(image, boxes, rng)
-            if len(boxes) != n_before:  # add_junk_image may drop boxes
-                kept = kept[: len(boxes)]
+            image, boxes, kept = jt(image, boxes, kept, rng)
         image = _apply_image(self.out_transforms, image, rng)
         return image, {
             "boxes": np.asarray(boxes, np.float32).reshape(-1, 4),

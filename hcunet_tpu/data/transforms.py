@@ -338,14 +338,14 @@ class random_x_flip:
     def __init__(self, rate: float = 0.5):
         self.rate = rate
 
-    def __call__(self, image, boxes, rng: np.random.Generator):
-        boxes = np.asarray(boxes, dtype=np.int64)
+    def __call__(self, image, boxes, labels=None, rng: np.random.Generator = None):
+        boxes = np.asarray(boxes, dtype=np.int64).reshape(-1, 4)
         if rng.random() < self.rate and len(boxes):
             image = np.ascontiguousarray(image[::-1])
             h = image.shape[0]
             boxes = boxes.copy()
             boxes[:, [1, 3]] = -boxes[:, [3, 1]] + h
-        return image, boxes.tolist()
+        return image, boxes.tolist(), labels
 
 
 class random_y_flip:
@@ -354,14 +354,14 @@ class random_y_flip:
     def __init__(self, rate: float = 0.5):
         self.rate = rate
 
-    def __call__(self, image, boxes, rng: np.random.Generator):
-        boxes = np.asarray(boxes, dtype=np.int64)
+    def __call__(self, image, boxes, labels=None, rng: np.random.Generator = None):
+        boxes = np.asarray(boxes, dtype=np.int64).reshape(-1, 4)
         if rng.random() < self.rate and len(boxes):
             image = np.ascontiguousarray(image[:, ::-1])
             w = image.shape[1]
             boxes = boxes.copy()
             boxes[:, [0, 2]] = -boxes[:, [2, 0]] + w
-        return image, boxes.tolist()
+        return image, boxes.tolist(), labels
 
 
 class random_resize:
@@ -371,12 +371,14 @@ class random_resize:
         self.rate = rate
         self.scale = scale
 
-    def __call__(self, image, boxes, rng: np.random.Generator):
+    def __call__(self, image, boxes, labels=None, rng: np.random.Generator = None):
+        if rng.random() >= self.rate:
+            return image, boxes, labels
         s = float(rng.uniform(*self.scale))
         zoom = [s] * (image.ndim - 1) + [1]
         image = ndi.zoom(image, zoom, order=1)
         boxes = np.round(np.asarray(boxes, dtype=np.float64) * s).astype(np.int64)
-        return image, boxes.tolist()
+        return image, boxes.tolist(), labels
 
 
 class remove_channel:
@@ -402,7 +404,7 @@ class add_junk_image:
         self.images = list(junk_images)
         self.junk_image_size = junk_image_size
 
-    def __call__(self, image, boxes, rng: np.random.Generator):
+    def __call__(self, image, boxes, labels=None, rng: np.random.Generator = None):
         junk = self.images[int(rng.integers(0, len(self.images)))]
         jh, jw = self.junk_image_size
         if junk.shape[0] <= jh or junk.shape[1] <= jw:
@@ -418,15 +420,17 @@ class add_junk_image:
             ..., : image.shape[-1]
         ]
 
-        kept = []
-        for box in boxes:
+        kept, kept_labels = [], []
+        for i, box in enumerate(boxes):
             bx = np.asarray(box)[[0, 2]]
             by = np.asarray(box)[[1, 3]]
             hit_x = np.any((bx > x) & (bx < x + jh))
             hit_y = np.any((by > y) & (by < y + jw))
             if not (hit_x or hit_y):
                 kept.append(box)
-        return image, kept
+                if labels is not None:
+                    kept_labels.append(labels[i])
+        return image, kept, (None if labels is None else kept_labels)
 
 
 def distance_transform(image: np.ndarray) -> np.ndarray:

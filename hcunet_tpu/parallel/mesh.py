@@ -54,14 +54,14 @@ def make_mesh(
 def default_multichip_mesh(n_devices: int, devices=None) -> Mesh:
     """The standard mesh for this framework: data × model × spatial.
 
-    Powers of two preferred; falls back gracefully for small counts."""
+    Falls back by axis (spatial, then model) for counts that don't factor."""
     if devices is None:
         devices = jax.devices()[:n_devices]
-    if n_devices >= 8:
+    if n_devices >= 8 and n_devices % 4 == 0:
         return make_mesh(
             {DATA_AXIS: n_devices // 4, MODEL_AXIS: 2, SPATIAL_AXIS: 2}, devices
         )
-    if n_devices >= 4:
+    if n_devices >= 4 and n_devices % 2 == 0:
         return make_mesh({DATA_AXIS: n_devices // 2, MODEL_AXIS: 2}, devices)
     return make_mesh({DATA_AXIS: n_devices}, devices)
 

@@ -108,7 +108,13 @@ class DetectionTrainer:
             raise ValueError("image is nan")
         if bool(jnp.isinf(image).sum() > 0):
             raise ValueError("image is inf")
-        n = min(len(labels), self.cfg.max_gt)
+        if len(labels) > self.cfg.max_gt:
+            raise ValueError(
+                f"sample has {len(labels)} ground-truth boxes but max_gt="
+                f"{self.cfg.max_gt}; raise DetectionTrainConfig.max_gt — "
+                f"silently dropping boxes would train them as background"
+            )
+        n = len(labels)
         pb = np.zeros((self.cfg.max_gt, 4), np.float32)
         pl = np.zeros((self.cfg.max_gt,), np.int32)
         pv = np.zeros((self.cfg.max_gt,), bool)

@@ -41,7 +41,8 @@ class TrainConfig:
     epochs: int = 100
     loss_method: str = "pixel"
     dice_weight: float = 0.0
-    gamma: Optional[float] = None  # ExponentialLR-style per-epoch decay
+    gamma: Optional[float] = None  # ExponentialLR-style per-EPOCH decay
+    steps_per_epoch: int = 1  # converts gamma to a per-step schedule
     checkpoint_path: Optional[str] = None
     checkpoint_every: int = 50
     log_every: int = 1
@@ -50,7 +51,9 @@ class TrainConfig:
 def _make_tx(cfg: TrainConfig) -> optax.GradientTransformation:
     if cfg.gamma is not None:
         sched = optax.exponential_decay(
-            cfg.learning_rate, transition_steps=1, decay_rate=cfg.gamma,
+            cfg.learning_rate,
+            transition_steps=max(cfg.steps_per_epoch, 1),
+            decay_rate=cfg.gamma,
             staircase=True,
         )
     else:

@@ -32,13 +32,17 @@ def trace(log_dir: str) -> Iterator[None]:
 
 
 def device_sync(x: Any) -> None:
-    """Force completion of all computation feeding ``x``."""
-    leaves = jax.tree_util.tree_leaves(x)
-    if leaves:
-        jnp.asarray(leaves[0]).sum().block_until_ready()
-        # a scalar device->host readback is the reliable barrier on
-        # remote-attached platforms
-        float(jnp.asarray(leaves[0]).ravel()[0])
+    """Force completion of all computation feeding every leaf of ``x``.
+
+    On remote-attached platforms ``block_until_ready`` can return at
+    dispatch, so each leaf also gets a scalar device→host readback —
+    the reliable barrier (leaves may live on different devices/shards).
+    """
+    for leaf in jax.tree_util.tree_leaves(x):
+        arr = jnp.asarray(leaf)
+        arr.block_until_ready()
+        if arr.size:
+            float(arr.ravel()[0])
 
 
 class timed:

@@ -80,10 +80,34 @@ def test_intensity_transforms_bounds(rng):
 def test_flip_transforms_box_remap():
     img = np.zeros((20, 30, 3))
     boxes = [[2, 3, 10, 8]]  # x1,y1,x2,y2 with x horizontal=axis1
-    im2, b2 = t.random_x_flip(rate=1.0)(img, boxes, np.random.default_rng(0))
+    labels = [4]
+    im2, b2, l2 = t.random_x_flip(rate=1.0)(img, boxes, labels, np.random.default_rng(0))
     assert b2 == [[2, 12, 10, 17]]  # y-coords flipped about shape[0]=20
-    im3, b3 = t.random_y_flip(rate=1.0)(img, boxes, np.random.default_rng(0))
+    assert l2 == [4]
+    im3, b3, l3 = t.random_y_flip(rate=1.0)(img, boxes, labels, np.random.default_rng(0))
     assert b3 == [[20, 3, 28, 8]]  # x-coords flipped about shape[1]=30
+    assert l3 == [4]
+
+
+def test_junk_image_keeps_labels_aligned(rng):
+    """When a pasted junk region drops a box, the dropped box's *own* label
+    must go with it (labels previously truncated from the end)."""
+    junk = rng.random((60, 60, 3))
+    tr = t.add_junk_image([junk], junk_image_size=(20, 20))
+    img = rng.random((80, 80, 3))
+    boxes = [[5, 5, 12, 12], [40, 40, 50, 50], [65, 65, 75, 75]]
+    labels = [1, 4, 2]
+    # try several seeds until exactly one box is dropped
+    for seed in range(50):
+        im2, b2, l2 = tr(img.copy(), list(boxes), list(labels),
+                         np.random.default_rng(seed))
+        if len(b2) == 2:
+            kept_pairs = {(tuple(b), l) for b, l in zip(b2, l2)}
+            orig_pairs = {(tuple(b), l) for b, l in zip(boxes, labels)}
+            assert kept_pairs <= orig_pairs
+            break
+    else:
+        raise AssertionError("no seed dropped exactly one box")
 
 
 def test_tiff_roundtrip(tmp_path):
