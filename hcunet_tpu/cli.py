@@ -27,6 +27,8 @@ def _add_analyze(sub):
     p.add_argument("--out", default=None, help="work/output dir")
     p.add_argument("--numchunks", type=int, default=3)
     p.add_argument("--no-cochlea", action="store_true")
+    p.add_argument("--trace", default=None,
+                   help="capture a jax.profiler trace into this directory")
 
 
 def _add_batch(sub):
@@ -132,12 +134,20 @@ def _cmd_analyze_like(args):
     cfg = PipelineConfig(numchunks=args.numchunks, unet=model.config)
 
     if args.cmd == "analyze":
+        import contextlib
+
         out = args.out or os.path.splitext(args.image)[0] + "_cellBycell"
-        result = analyze(
-            args.image, unet_apply=unet_apply, detector=detector,
-            detector_variables=det_vars, cfg=cfg, work_dir=out,
-            fit_cochlea=not args.no_cochlea,
-        )
+        ctx = contextlib.nullcontext()
+        if getattr(args, "trace", None):
+            from hcunet_tpu.utils.profiling import trace
+
+            ctx = trace(args.trace)
+        with ctx:
+            result = analyze(
+                args.image, unet_apply=unet_apply, detector=detector,
+                detector_variables=det_vars, cfg=cfg, work_dir=out,
+                fit_cochlea=not args.no_cochlea,
+            )
         print(json.dumps({"cells": len(result.cells), "out": out}))
         return 0
 
