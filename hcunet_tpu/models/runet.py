@@ -137,8 +137,87 @@ class GateBranch(nn.Module):
         return x
 
 
+class RUNetStep(nn.Module):
+    """One recurrence step (the body of the reference's t-loop,
+    ``r_unet.py:139-160``) — scanned by :class:`RecursiveUNet`."""
+
+    config: RUNetConfig
+    reference_skip_bug: bool = False
+    dtype: Any = jnp.float32
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, carry, _):
+        cfg = self.config
+        c0, c1, c2 = cfg.channels
+        image, s_t, h_t = carry
+        spatial = image.shape[1:-1]
+
+        if s_t.shape[1:-1] != spatial:
+            # odd xy sizes lose a pixel through pool->upsample; the reference
+            # simply crashes there (torch cat shape mismatch at t=1) —
+            # zero-pad the state back instead. Identity for even sizes.
+            widths = [(0, 0)] + [
+                (0, s - c) for s, c in zip(spatial, s_t.shape[1:-1])
+            ] + [(0, 0)]
+            s_t = jnp.pad(s_t, widths)
+
+        x = jnp.concatenate([image.astype(self.dtype), s_t], axis=-1)
+        x = RDown(c0, cfg.kernel, self.dtype, name="down1")(x, self.train)
+        a = x
+        x = max_pool(x, cfg.max_pool_kernel)
+        h = jnp.tanh(
+            GateBranch(
+                c1, c2, cfg.kernel, cfg.upsample_kernel, cfg.upsample_stride,
+                cfg.max_pool_kernel, self.reference_skip_bug, self.dtype,
+                name="fh",
+            )(x, self.train)
+        )
+        z = jax.nn.sigmoid(
+            GateBranch(
+                c1, c2, cfg.kernel, cfg.upsample_kernel, cfg.upsample_stride,
+                cfg.max_pool_kernel, self.reference_skip_bug, self.dtype,
+                name="fz",
+            )(x, self.train)
+        )
+        # h_t arrives as ones for t=0 (the reference initializes it from the
+        # first h — r_unet.py:151-152)
+        h_t = crop_like(h_t, h) * z + (-1.0 * z * h)  # r_unet.py:155, verbatim
+        x = RUp(
+            c0, cfg.kernel, cfg.upsample_kernel, cfg.upsample_stride, 2,
+            self.reference_skip_bug, self.dtype, name="up2",
+        )(h_t, a, self.train)
+        out_w = self.param(
+            "out_kernel", nn.initializers.he_normal(),
+            (1, 1, 1, c0, cfg.out_channels), jnp.float32,
+        )
+        out_b = self.param(
+            "out_bias", nn.initializers.zeros, (cfg.out_channels,), jnp.float32
+        )
+        x = conv_same(
+            x.astype(self.dtype), out_w.astype(self.dtype), out_b, padding=0,
+            accum_dtype=self.dtype,
+        )
+        return (image, x, h_t.astype(self.dtype)), x
+
+
+def crop_like(a, b):
+    """Top-left crop ``a``'s spatial axes down to ``b``'s (identity when
+    equal) — keeps the carried gate state aligned for odd sizes."""
+    if a.shape == b.shape:
+        return a
+    slc = (slice(None),) + tuple(slice(0, s) for s in b.shape[1:-1]) + (slice(None),)
+    return a[slc]
+
+
 class RecursiveUNet(nn.Module):
-    """The full recurrent model (``r_unet.py:38-160``)."""
+    """The full recurrent model (``r_unet.py:38-160``).
+
+    The timestep loop is an ``nn.scan`` — one traced step body instead of
+    ``timesteps`` unrolled copies (the unrolled version took >5 min to
+    compile on the remote TPU toolchain; the scanned one compiles ~10x
+    faster and trains with O(1) live activations per step).
+    """
 
     config: RUNetConfig
     reference_skip_bug: bool = False
@@ -149,72 +228,33 @@ class RecursiveUNet(nn.Module):
         cfg = self.config
         if image.ndim != 5:
             raise ValueError(f"expected [B, X, Y, Z, C], got {image.shape}")
-        c0, c1, c2 = cfg.channels
+        c1 = cfg.channels[1]
         B = image.shape[0]
         spatial = image.shape[1:-1]
 
-        down1 = RDown(c0, cfg.kernel, self.dtype, name="down1")
-        fz = GateBranch(
-            c1, c2, cfg.kernel, cfg.upsample_kernel, cfg.upsample_stride,
-            cfg.max_pool_kernel, self.reference_skip_bug, self.dtype, name="fz",
-        )
-        fh = GateBranch(
-            c1, c2, cfg.kernel, cfg.upsample_kernel, cfg.upsample_stride,
-            cfg.max_pool_kernel, self.reference_skip_bug, self.dtype, name="fh",
-        )
-        up2 = RUp(
-            c0, cfg.kernel, cfg.upsample_kernel, cfg.upsample_stride, 2,
-            self.reference_skip_bug, self.dtype, name="up2",
-        )
-        out_w = self.param(
-            "out_kernel", nn.initializers.he_normal(),
-            (1, 1, 1, c0, cfg.out_channels), jnp.float32,
-        )
-        out_b = self.param(
-            "out_bias", nn.initializers.zeros, (cfg.out_channels,), jnp.float32
-        )
-
-        def step(carry, _):
-            s_t, h_t = carry
-            if s_t.shape[1:-1] != spatial:
-                # odd xy sizes lose a pixel through pool->upsample; the
-                # reference simply crashes there (torch cat shape mismatch
-                # at t=1) — zero-pad the state back instead. Identity for
-                # the even sizes the reference supports.
-                widths = [(0, 0)] + [
-                    (0, s - c) for s, c in zip(spatial, s_t.shape[1:-1])
-                ] + [(0, 0)]
-                s_t = jnp.pad(s_t, widths)
-            x = jnp.concatenate([image.astype(self.dtype), s_t], axis=-1)
-            x = down1(x, train)
-            a = x
-            x = max_pool(x, cfg.max_pool_kernel)
-            h = jnp.tanh(fh(x, train))
-            if h_t is None:
-                # the reference sizes h_t from the first h (r_unet.py:151-152)
-                # — sizing it statically from spatial//2 breaks for odd
-                # half-resolutions, where the gate branch loses a pixel.
-                h_t = jnp.ones_like(h)
-            z = jax.nn.sigmoid(fz(x, train))
-            h_t = h_t * z + (-1.0 * z * h)  # r_unet.py:155, verbatim
-            x = up2(h_t, a, train)
-            x = conv_same(x.astype(self.dtype), out_w.astype(self.dtype), out_b, padding=0)
-            return (x, h_t), (x if return_sequence else 0.0)
-
+        # the gate-branch output spatial shape (h_t's shape): same-padding
+        # convs keep sizes; pool halves x/y (floor); the up step doubles and
+        # top-left-crops to the skip — q when q even, q-1 when odd.
+        pooled = [
+            s // k for s, k in zip(spatial, cfg.max_pool_kernel)
+        ]
+        gate_xy = [
+            (q if q % 2 == 0 else q - 1) if k > 1 else q
+            for q, k in zip(pooled, cfg.max_pool_kernel)
+        ]
+        h0 = jnp.ones((B, *gate_xy, c1), self.dtype)
         s0 = jnp.zeros((B, *spatial, cfg.out_channels), self.dtype)
 
-        (s_t, h_t), seq = self._run_scan(step, (s0, None), cfg.timesteps)
-        return (s_t, seq) if return_sequence else s_t
-
-    def _run_scan(self, step, carry, length):
-        """Python-unrolled recurrence.
-
-        flax.nn.scan is awkward with shared submodules called inside the
-        body; with only 10 timesteps the unrolled trace is small and XLA
-        dedupes the bodies, so we unroll (the reference also unrolls —
-        ``r_unet.py:139``)."""
-        seq = []
-        for _ in range(length):
-            carry, out = step(carry, None)
-            seq.append(out)
-        return carry, seq
+        scan = nn.scan(
+            RUNetStep,
+            variable_broadcast=["params"] + ([] if train else ["batch_stats"]),
+            variable_carry=["batch_stats"] if train else [],
+            split_rngs={"params": False},
+            length=cfg.timesteps,
+        )
+        (image_out, s_t, h_t), seq = scan(
+            cfg, self.reference_skip_bug, self.dtype, train, name="step"
+        )((image, s0, h0), None)
+        if return_sequence:
+            return s_t, seq
+        return s_t

@@ -132,7 +132,10 @@ def _rdown(sd: Mapping, prefix: str) -> tuple[Dict, Dict]:
 def runet_variables_from_torch_state_dict(sd: Mapping) -> Dict:
     """Port a reference ``RecursiveUnet`` state_dict
     (``hcat/r_unet.py:38-160``) onto
-    :class:`hcunet_tpu.models.runet.RecursiveUNet` variables."""
+    :class:`hcunet_tpu.models.runet.RecursiveUNet` variables.
+
+    The recurrence body is an ``nn.scan``-wrapped submodule named ``step``,
+    so every parameter lives one level below it."""
     params: Dict = {}
     stats: Dict = {}
     params["down1"], stats["down1"] = _rdown(sd, "down1")
@@ -145,7 +148,7 @@ def runet_variables_from_torch_state_dict(sd: Mapping) -> Dict:
     params["up2"], stats["up2"] = _rup(sd, "up2")
     params["out_kernel"] = conv_weight_to_jax(sd["out_conv.weight"])
     params["out_bias"] = _np(sd["out_conv.bias"])
-    return {"params": params, "batch_stats": stats}
+    return {"params": {"step": params}, "batch_stats": {"step": stats}}
 
 
 def rdcnet_variables_from_torch_state_dict(sd: Mapping) -> Dict:
