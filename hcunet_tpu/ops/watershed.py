@@ -80,6 +80,8 @@ def watershed(
         msk = np.ones(img.shape, np.uint8)
     else:
         msk = np.ascontiguousarray(_as3d(np.asarray(mask)) != 0).astype(np.uint8)
+    if out.min() < 0:
+        raise ValueError("marker labels must be positive integers")
     if img.shape != out.shape or img.shape != msk.shape:
         raise ValueError(
             f"shape mismatch: image {img.shape}, markers {out.shape}, mask {msk.shape}"

@@ -49,12 +49,22 @@ def make_pwl(
     sigma: float = 5.0,
     per_slice: bool = True,
     max_labels: int = 512,
+    ray_march: bool = False,
 ) -> np.ndarray:
     """Pixel-wise loss weights for a color-coded instance mask [Z,Y,X,C].
 
     Returns float64 [Z, Y, X]; nonzero only on background pixels near at
     least two distinct cells.
+
+    ``ray_march=True`` selects the reference-exact 63-ray quantized
+    distance (:func:`make_pwl_ray_march`).  The default exact-EDT map is a
+    refinement of it: the ray march overestimates d1+d2 by integer-radius
+    quantization and truncates at radius 9; measured delta on the standard
+    two-cell fixture is mean |Δ| < 0.25 over background with peak positions
+    within one pixel (tests/test_train_and_targets.py).
     """
+    if ray_march:
+        return make_pwl_ray_march(color_mask, w0=w0, sigma=sigma)
     labels = colors_to_labels(color_mask)
     ids = np.unique(labels)
     ids = ids[ids != 0]
@@ -82,6 +92,65 @@ def make_pwl(
             out[z] = w
         else:
             out[...] = w
+    return out
+
+
+_RAY_RADII = np.arange(1, 10)
+_RAY_ANGLES = np.linspace(0, 2 * np.pi, 63)
+
+
+def _ray_offsets() -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The reference's scan-ordered (radius, dy, dx) ray table
+    (``train_utils.py:62-76``): radii 1..9 outer, 63 angles inner,
+    offsets rounded to integers (duplicates kept, order preserved)."""
+    radii, dys, dxs = [], [], []
+    for l in _RAY_RADII:
+        for theta in _RAY_ANGLES:
+            dxs.append(int(np.rint(l * np.cos(theta))))
+            dys.append(int(np.rint(l * np.sin(theta))))
+            radii.append(l)
+    return np.array(radii), np.array(dys), np.array(dxs)
+
+
+def make_pwl_ray_march(
+    color_mask: np.ndarray, w0: float = 11.0, sigma: float = 5.0
+) -> np.ndarray:
+    """Reference-exact PWL: the 63-angle × radii-1..9 ray march of
+    ``train_utils.py:50-93``, vectorized.
+
+    Per background pixel, rays are scanned in order (radius-major); the
+    first nonzero hit fixes the nearest cell's color at radius ``l1``, the
+    first *later* hit whose color differs fixes ``l2``, and the weight is
+    ``w0·exp(-(l1+l2)²/2σ²)`` — 0 if no two distinct cells are seen within
+    radius 9.  Matches the reference's 50-pixel pad (rays near the volume
+    edge see background, never wrap).  Returns float64 [Z, Y, X].
+    """
+    labels = colors_to_labels(color_mask)
+    radii, dys, dxs = _ray_offsets()
+    pad = int(_RAY_RADII.max())
+    out = np.zeros(labels.shape, np.float64)
+    n = len(radii)
+    for z in range(labels.shape[0]):
+        sl = np.pad(labels[z], pad)  # zero pad == reference's 50-pad
+        # hits[k, y, x] = label seen by ray k from pixel (y, x)
+        hits = np.empty((n,) + labels.shape[1:], labels.dtype)
+        H, W = labels.shape[1:]
+        for k in range(n):
+            y0, x0 = pad + dys[k], pad + dxs[k]
+            hits[k] = sl[y0 : y0 + H, x0 : x0 + W]
+        nonzero = hits != 0
+        any_hit = nonzero.any(axis=0)
+        i1 = np.argmax(nonzero, axis=0)
+        c1 = np.take_along_axis(hits, i1[None], axis=0)[0]
+        scan = np.arange(n)[:, None, None]
+        distinct = nonzero & (hits != c1[None]) & (scan > i1[None])
+        any_distinct = distinct.any(axis=0)
+        i2 = np.argmax(distinct, axis=0)
+        l1 = radii[i1].astype(np.float64)
+        l2 = radii[i2].astype(np.float64)
+        w = w0 * np.exp(-((l1 + l2) ** 2) / (2 * sigma**2))
+        valid = any_hit & any_distinct & (labels[z] == 0)
+        out[z][valid] = w[valid]
     return out
 
 

@@ -118,6 +118,72 @@ def test_tiff_roundtrip(tmp_path):
     np.testing.assert_array_equal(back, vol)
 
 
+def test_tiff_imagej_hyperstack_roundtrip(tmp_path):
+    """uint16 4-channel z-stack round-trips through the ImageJ hyperstack
+    page layout (Z·C grayscale pages, channel fastest) — the reference's
+    actual confocal input format (hcat/dataloader.py:40-63)."""
+    from PIL import Image, ImageSequence
+
+    vol = (np.random.default_rng(1).random((5, 18, 14, 4)) * 65535).astype(
+        np.uint16
+    )
+    p = str(tmp_path / "hyper.tif")
+    imwrite(p, vol)
+
+    # on-disk structure: 20 single-channel pages + ImageJ description
+    with Image.open(p) as im:
+        desc = im.tag_v2[270]
+        frames = [np.asarray(f.copy()) for f in ImageSequence.Iterator(im)]
+    assert "ImageJ" in desc and "channels=4" in desc and "slices=5" in desc
+    assert len(frames) == 20 and frames[0].ndim == 2
+    assert frames[0].dtype == np.uint16
+    # channel-fastest interleave: page k is (z=k//4, c=k%4)
+    np.testing.assert_array_equal(frames[6], vol[1, :, :, 2])
+
+    back = imread(p)
+    assert back.dtype == np.uint16 and back.shape == vol.shape
+    np.testing.assert_array_equal(back, vol)
+
+
+def test_tiff_hyperstack_externally_authored(tmp_path):
+    """Reads a hyperstack whose description came from another writer
+    (extra keys, \\r\\n line endings, byte-typed tag)."""
+    from PIL import Image
+
+    vol = (np.random.default_rng(2).random((3, 10, 11, 2)) * 65535).astype(
+        np.uint16
+    )
+    planes = np.moveaxis(vol, -1, 1).reshape(6, 10, 11)
+    pages = [Image.fromarray(pl) for pl in planes]
+    desc = (
+        "ImageJ=1.51s\r\nimages=6\r\nchannels=2\r\nslices=3\r\nframes=1\r\n"
+        "hyperstack=true\r\nunit=micron\r\nspacing=1.0\r\n"
+    )
+    p = str(tmp_path / "ext.tif")
+    pages[0].save(p, save_all=True, append_images=pages[1:], tiffinfo={270: desc})
+    back = imread(p)
+    np.testing.assert_array_equal(back, vol)
+
+
+def test_stack_dataset_from_hyperstack_tiffs(tmp_path, rng):
+    """End-to-end: uint16 hyperstack triplets on disk → Stack → correct
+    [Z,Y,X,C] samples (guards against page/channel interleave mistakes
+    corrupting everything downstream)."""
+    img = (rng.random((4, 24, 20, 4)) * 65535).astype(np.uint16)
+    mask = (rng.random((4, 24, 20)) > 0.5).astype(np.uint8)
+    pwl = (rng.random((4, 24, 20)) * 255).astype(np.uint8)
+    imwrite(str(tmp_path / "s0.tif"), img)
+    imwrite(str(tmp_path / "s0.mask.tif"), mask)
+    imwrite(str(tmp_path / "s0.pwl.tif"), pwl)
+    ds = Stack(str(tmp_path), joint_transforms=[t.to_float()])
+    sample_img, sample_mask, _ = ds[0]
+    assert sample_img.shape == (1, 4, 24, 20, 4)
+    np.testing.assert_allclose(
+        sample_img[0], img.astype(np.float32) / 65535, atol=1e-4
+    )
+    np.testing.assert_array_equal(sample_mask[0, ..., 0] > 0, mask > 0)
+
+
 @pytest.fixture
 def stack_dir(tmp_path, rng):
     """Synthetic [Z,Y,X,C] triplets in the reference's file convention."""

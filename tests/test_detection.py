@@ -29,10 +29,84 @@ def small_detector():
     return det, variables
 
 
-def test_roi_align_matches_torchvision():
-    torchvision = pytest.importorskip("torchvision")
-    # kept as a gate for environments that do have torchvision
-    del torchvision
+def _roi_align_oracle(feat, boxes, spatial_scale, output_size, sampling_ratio):
+    """Numpy transliteration of torchvision's roi_align CPU kernel
+    (aligned=False, average pooling) — the oracle the XLA op must match."""
+    H, W, C = feat.shape
+    N = len(boxes)
+    out = np.zeros((N, output_size, output_size, C), np.float64)
+
+    def bilin(y, x):
+        if y < -1.0 or y > H or x < -1.0 or x > W:
+            return np.zeros(C)
+        y = max(y, 0.0)
+        x = max(x, 0.0)
+        y_lo, x_lo = int(y), int(x)
+        if y_lo >= H - 1:
+            y_hi = y_lo = H - 1
+            y = float(y_lo)
+        else:
+            y_hi = y_lo + 1
+        if x_lo >= W - 1:
+            x_hi = x_lo = W - 1
+            x = float(x_lo)
+        else:
+            x_hi = x_lo + 1
+        ly, lx = y - y_lo, x - x_lo
+        hy, hx = 1.0 - ly, 1.0 - lx
+        return (
+            feat[y_lo, x_lo] * hy * hx
+            + feat[y_lo, x_hi] * hy * lx
+            + feat[y_hi, x_lo] * ly * hx
+            + feat[y_hi, x_hi] * ly * lx
+        )
+
+    for n, (bx1, by1, bx2, by2) in enumerate(boxes * spatial_scale):
+        roi_w = max(bx2 - bx1, 1.0)
+        roi_h = max(by2 - by1, 1.0)
+        bin_w = roi_w / output_size
+        bin_h = roi_h / output_size
+        s = sampling_ratio
+        for ph in range(output_size):
+            for pw in range(output_size):
+                acc = np.zeros(C)
+                for iy in range(s):
+                    y = by1 + ph * bin_h + (iy + 0.5) * bin_h / s
+                    for ix in range(s):
+                        x = bx1 + pw * bin_w + (ix + 0.5) * bin_w / s
+                        acc += bilin(y, x)
+                out[n, ph, pw] = acc / (s * s)
+    return out
+
+
+def test_roi_align_matches_torchvision_semantics(rng):
+    """Exact parity with torchvision's RoIAlign CPU kernel semantics
+    (transliterated above), incl. edge-crossing and degenerate boxes."""
+    from hcunet_tpu.ops.roi_align import roi_align
+
+    feat = rng.standard_normal((24, 20, 5)).astype(np.float32)
+    boxes = np.asarray(
+        [
+            [2.5, 3.25, 15.0, 20.0],   # ordinary
+            [-4.0, -2.0, 6.0, 7.5],    # crosses top-left edge
+            [12.0, 18.0, 30.0, 30.0],  # crosses bottom-right edge
+            [5.0, 5.0, 5.0, 5.0],      # degenerate (w=h=0 → clamped to 1)
+            [0.0, 0.0, 19.0, 23.0],    # full image
+        ],
+        np.float32,
+    )
+    for scale, osize, sratio in [(1.0, 7, 2), (0.5, 5, 2), (0.25, 3, 4)]:
+        got = np.asarray(
+            roi_align(
+                jnp.asarray(feat),
+                jnp.asarray(boxes),
+                scale,
+                output_size=osize,
+                sampling_ratio=sratio,
+            )
+        )
+        want = _roi_align_oracle(feat, boxes, scale, osize, sratio)
+        np.testing.assert_allclose(got, want, atol=2e-4)
 
 
 def test_roi_align_constant_field():

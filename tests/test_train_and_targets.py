@@ -47,6 +47,85 @@ def test_make_pwl_peaks_between_cells():
     assert 8 <= y <= 12
 
 
+def _ray_march_loop(labels2d, w0=11.0, sigma=5.0):
+    """Literal transcription of the reference's find_closest ray march
+    (hcat/train/train_utils.py:62-93) over a 2D label slice — the slow
+    oracle for make_pwl_ray_march."""
+    pad = 9
+    sl = np.pad(labels2d, pad)
+    out = np.zeros(labels2d.shape, np.float64)
+    angles = np.linspace(0, 2 * np.pi, 63)
+    for y in range(labels2d.shape[0]):
+        for x in range(labels2d.shape[1]):
+            if labels2d[y, x] != 0:
+                continue
+            closest = 0
+            lens = []
+            w = 0.0
+            for l in np.arange(1, 10):
+                for theta in angles:
+                    dx = int(np.rint(l * np.cos(theta)))
+                    dy = int(np.rint(l * np.sin(theta)))
+                    hit = sl[pad + y + dy, pad + x + dx]
+                    if hit != 0:
+                        if closest == 0:
+                            closest = hit
+                            lens.append(l)
+                        elif hit != closest:
+                            lens.append(l)
+                            w = w0 * np.exp(
+                                -((lens[0] + lens[1]) ** 2) / (2 * sigma**2)
+                            )
+                            break
+                if w:
+                    break
+            out[y, x] = w
+    return out
+
+
+def test_make_pwl_ray_march_matches_reference_loop(rng):
+    """Vectorized ray-march PWL == literal transcription of the
+    reference's numba triple loop, on random multi-cell slices."""
+    from hcunet_tpu.train.targets import make_pwl_ray_march
+
+    for seed in range(3):
+        r = np.random.default_rng(seed)
+        lab = np.zeros((24, 24), np.int32)
+        for i in range(1, 5):
+            cy, cx = r.integers(3, 21, 2)
+            lab[max(0, cy - 3) : cy + 3, max(0, cx - 3) : cx + 3] = i
+        color = np.zeros((1,) + lab.shape + (3,), np.uint8)
+        color[0, ..., 0] = lab * 40  # distinct colors per label
+        got = make_pwl_ray_march(color)
+        want = _ray_march_loop(lab)
+        np.testing.assert_allclose(got[0], want, atol=1e-12)
+
+
+def test_make_pwl_edt_vs_ray_march_delta():
+    """Quantifies the exact-EDT make_pwl against the reference's 63-ray
+    march (VERDICT r1 item 7).  The ray march quantizes distance to
+    integer radii ≤9 along 63 angles, so it *overestimates* d1+d2 and
+    truncates the weight tail; the EDT map is a strict refinement.  The
+    bound asserted here (mean |Δ| and support agreement near the peak)
+    documents the training-target delta."""
+    from hcunet_tpu.train.targets import make_pwl, make_pwl_ray_march
+
+    img = _color_volume()
+    edt = make_pwl(img)
+    ray = make_pwl_ray_march(img)
+    assert edt.shape == ray.shape
+    # same support class: both peak at the stripped inter-cell boundary
+    ze, ye, xe = np.unravel_index(edt.argmax(), edt.shape)
+    zr, yr, xr = np.unravel_index(ray.argmax(), ray.shape)
+    assert abs(ye - yr) <= 1 and abs(xe - xr) <= 2
+    # peak magnitudes agree within the ray-quantization error
+    assert abs(edt.max() - ray.max()) < 2.0
+    # mean absolute delta over background is small relative to w0=11
+    bg = (img != img[0, 0, 0]).any(-1) == 0
+    delta = np.abs(edt - ray)[bg]
+    assert delta.mean() < 0.25, delta.mean()
+
+
 def test_com_and_vector_targets():
     from hcunet_tpu.train.targets import (
         center_of_mass_target,
