@@ -162,7 +162,22 @@ class TileConfig:
 
 @dataclass(frozen=True)
 class WatershedConfig:
-    """Instance segmentation constants (``hcat/__init__.py:18-30``)."""
+    """Instance segmentation constants (``hcat/__init__.py:18-30``).
+
+    ``backend`` selects the per-tile implementation:
+
+    * ``"fused"`` (default) — one native call per tile
+      (``native/watershed.cpp:instance_tile3d``): virtual z-expansion,
+      chamfer mask dilation, flood.  Bit-identical labels to
+      ``"materialized"`` (tested), ~none of its memory traffic.
+    * ``"materialized"`` — the python path that literally builds the
+      z-expanded float64 volumes like the reference
+      (``hcat/segment.py:444-450``); kept as the parity oracle.
+    * ``"device"`` — everything on the TPU inside one jit
+      (``ops/watershed_jax.py`` bounded-iteration minimax-path relaxation,
+      ``device_iters`` steps).  Approximate on plateau tie-breaks; for
+      TPU-resident pipelines where the host hop dominates.
+    """
 
     connectivity: int = 1
     compactness: float = 0.01
@@ -173,6 +188,8 @@ class WatershedConfig:
     cell_prob_threshold: float = 0.25
     seed_background_below: float = 0.15
     distance_floor: float = 0.2
+    backend: str = "fused"
+    device_iters: int = 96
 
 
 @dataclass(frozen=True)

@@ -33,7 +33,7 @@ import numpy as np
 from hcunet_tpu.config import WatershedConfig
 from hcunet_tpu.core.shapes import calculate_indexes
 from hcunet_tpu.ops.distance import edt_per_slice_host
-from hcunet_tpu.ops.watershed import watershed
+from hcunet_tpu.ops.watershed import instance_tile, watershed
 
 
 def _instance_tile_geometry(spatial, host_ram_bytes: Optional[int] = None):
@@ -55,6 +55,52 @@ def _instance_tile_geometry(spatial, host_ram_bytes: Optional[int] = None):
             ev[d] = spatial[d]
             pad[d] = 1
     return pad, ev
+
+
+def _device_instance_tile(
+    distance: np.ndarray, binary: np.ndarray, seed_tile: np.ndarray,
+    cfg: WatershedConfig,
+) -> np.ndarray:
+    """One instance tile on the TPU (``backend='device'``): z-replication,
+    iterated cross dilation, background seed, and the bounded-iteration
+    minimax-path watershed (:func:`hcunet_tpu.ops.watershed_jax.watershed_jax`)
+    — all inside one jit.  Approximate where plateau tie-breaks matter."""
+    import jax
+    import jax.numpy as jnp
+
+    from hcunet_tpu.ops.watershed_jax import _shift, watershed_jax
+
+    E = int(cfg.expand_z)
+
+    @jax.jit
+    def run(dist, binm, seeds):
+        dist_e = jnp.repeat(dist, E, axis=2)
+        dist_e = jnp.where(dist_e < cfg.distance_floor, 0.0, dist_e)
+        mask_e = jnp.repeat(binm, E, axis=2)
+
+        def dilate(_, m):
+            out = m
+            for ax in range(3):
+                for d in (1, -1):
+                    out = out | _shift(m, ax, d, False)
+            return out
+
+        mask_e = jax.lax.fori_loop(0, int(cfg.expand_mask), dilate, mask_e)
+        seed_e = jnp.repeat(seeds, E, axis=2)
+        seed_e = jnp.where(dist_e < cfg.seed_background_below, 1, seed_e)
+        labels = watershed_jax(
+            -dist_e,
+            seed_e,
+            mask=mask_e,
+            iters=int(cfg.device_iters),
+            compactness=cfg.compactness,
+            watershed_line=True,
+        )
+        return labels[:, :, ::E]
+
+    return np.asarray(
+        run(jnp.asarray(distance), jnp.asarray(binary != 0), jnp.asarray(seed_tile))
+    ).copy()
 
 
 def generate_unique_segmentation_mask(
@@ -182,31 +228,59 @@ def generate_unique_segmentation_mask(
                     :,
                 ]
 
-            # fake isotropy: replicate z (segment.py:444-450)
-            dist_e = np.repeat(distance, expand_z, axis=2)
-            seed_e = np.repeat(seed_tile, expand_z, axis=2)
-            mask_e = np.repeat(binary, expand_z, axis=2)
-
-            dist_e[dist_e < cfg.distance_floor] = 0  # steep cutoffs
-            if cfg.expand_mask:
-                from scipy import ndimage as ndi
-
-                mask_e = ndi.binary_dilation(
-                    mask_e, iterations=cfg.expand_mask
+            if cfg.backend == "device":
+                # On-device approximation (ops/watershed_jax.py): minimax-path
+                # relaxation instead of the sequential priority flood.  Label
+                # geometry matches the exact path away from plateau ties; use
+                # for TPU-resident pipelines where the host hop dominates.
+                labels = _device_instance_tile(
+                    distance.astype(np.float32), binary, seed_tile, cfg
                 )
-            seed_e[dist_e < cfg.seed_background_below] = 1  # background seed
+                labels[labels == 1] = 0
+            elif cfg.backend == "fused":
+                # one native call: virtual z-expansion + chamfer dilation +
+                # flood (bit-identical to the materialized path below)
+                labels = instance_tile(
+                    distance,
+                    binary,
+                    seed_tile,
+                    expand_z=expand_z,
+                    expand_mask=cfg.expand_mask,
+                    distance_floor=cfg.distance_floor,
+                    seed_background_below=cfg.seed_background_below,
+                    connectivity=cfg.connectivity,
+                    compactness=cfg.compactness,
+                    watershed_line=True,
+                )
+                labels[labels == 1] = 0  # drop background label
+            elif cfg.backend == "materialized":
+                # fake isotropy: replicate z (segment.py:444-450)
+                dist_e = np.repeat(distance, expand_z, axis=2)
+                seed_e = np.repeat(seed_tile, expand_z, axis=2)
+                mask_e = np.repeat(binary, expand_z, axis=2)
 
-            labels_e = watershed(
-                -dist_e,
-                seed_e,
-                mask=mask_e,
-                connectivity=cfg.connectivity,
-                compactness=cfg.compactness,
-                watershed_line=True,
-            )
-            labels_e[labels_e == 1] = 0  # drop background label
+                dist_e[dist_e < cfg.distance_floor] = 0  # steep cutoffs
+                if cfg.expand_mask:
+                    from scipy import ndimage as ndi
 
-            labels = labels_e[:, :, ::expand_z]
+                    mask_e = ndi.binary_dilation(
+                        mask_e, iterations=cfg.expand_mask
+                    )
+                seed_e[dist_e < cfg.seed_background_below] = 1  # background
+
+                labels_e = watershed(
+                    -dist_e,
+                    seed_e,
+                    mask=mask_e,
+                    connectivity=cfg.connectivity,
+                    compactness=cfg.compactness,
+                    watershed_line=True,
+                )
+                labels_e[labels_e == 1] = 0  # drop background label
+
+                labels = labels_e[:, :, ::expand_z]
+            else:
+                raise ValueError(f"unknown watershed backend {cfg.backend!r}")
 
             # suppress edge-touching labels for seam-free merging
             # (segment.py:486-496)

@@ -54,6 +54,21 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.instance_tile3d.restype = ctypes.c_int
+        lib.instance_tile3d.argtypes = [
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_double,
+            ctypes.c_double,
+            ctypes.c_int,
+            ctypes.c_double,
+            ctypes.c_int,
+        ]
         _lib = lib
         return lib
 
@@ -99,6 +114,62 @@ def watershed(
     if rc != 0:
         raise RuntimeError(f"watershed3d failed with code {rc}")
     return out[..., 0] if squeeze else out
+
+
+def instance_tile(
+    distance: np.ndarray,
+    binary: np.ndarray,
+    seed: np.ndarray,
+    *,
+    expand_z: int,
+    expand_mask: int,
+    distance_floor: float,
+    seed_background_below: float,
+    connectivity: int = 1,
+    compactness: float = 0.0,
+    watershed_line: bool = True,
+) -> np.ndarray:
+    """Fused per-tile instance step (``hcat/segment.py:444-480``) — the exact
+    equivalent of: z-replicate ``distance``/``seed``/``binary`` by
+    ``expand_z``, floor the height, dilate the mask ``expand_mask`` times
+    (cross structuring element), background-seed below
+    ``seed_background_below``, run the compact seeded watershed with lines on
+    ``-distance``, and decimate z back — but without materializing any of the
+    float64 expanded volumes (only the expanded int32 labels + uint8 mask
+    live natively, transiently).
+
+    All inputs are UNEXPANDED ``[X, Y, Z]``.  Returns int32 labels (line
+    pixels 0); background label 1 is kept (the caller zeroes it, matching
+    ``segment.py:475``).
+    """
+    lib = _load()
+    img = np.ascontiguousarray(np.asarray(distance), np.float64)
+    msk = np.ascontiguousarray(np.asarray(binary) != 0).astype(np.uint8)
+    sd = np.ascontiguousarray(np.asarray(seed), np.int32)
+    if img.shape != msk.shape or img.shape != sd.shape or img.ndim != 3:
+        raise ValueError(
+            f"shape mismatch: distance {img.shape}, binary {msk.shape}, "
+            f"seed {sd.shape}"
+        )
+    out = np.zeros(img.shape, np.int32)
+    dims = np.asarray(img.shape, np.int64)
+    rc = lib.instance_tile3d(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        msk.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        sd.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        int(expand_z),
+        int(expand_mask),
+        float(distance_floor),
+        float(seed_background_below),
+        int(connectivity),
+        float(compactness),
+        int(bool(watershed_line)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"instance_tile3d failed with code {rc}")
+    return out
 
 
 def label(binary: np.ndarray) -> tuple[np.ndarray, int]:

@@ -1,4 +1,5 @@
-// Priority-flood watershed with compactness and watershed lines.
+// Priority-flood watershed with compactness and watershed lines, plus the
+// fused instance-tile kernel (virtual z-expansion).
 //
 // Native replacement for the reference's skimage.segmentation.watershed call
 // (hcat/segment.py:468-471: connectivity=1, compactness=0.01,
@@ -17,50 +18,113 @@
 // tests/watershed_oracle.py bit-for-bit so the two can be compared on
 // plateaus too — see that file's docstring for the documented choices.
 //
+// instance_tile3d fuses the per-tile steps of the instance segmenter
+// (hcat/segment.py:444-471): z-replication by expand_z, the distance floor,
+// the iterated binary mask dilation (== exact taxicab distance <= R, done
+// as a two-pass chamfer), the background seed, and the flood — WITHOUT
+// materializing the float64 z-expanded arrays the python path repeats
+// (image values are read through a virtual accessor).  Only the expanded
+// int32 label volume and uint8 mask are allocated.
+//
 // The volume is [X, Y, Z] C-contiguous int/float arrays; connectivity 1
 // means face neighbors (6 in 3D), 2 adds edges, 3 adds corners.
 //
 // Exposed via a C ABI for ctypes (see hcunet_tpu/ops/watershed.py).
 
 #include <algorithm>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
-#include <queue>
 #include <vector>
 
 namespace {
 
+// 24-byte heap entry (prio + age + packed idx/src) — volumes are capped at
+// 2^31 voxels (13 GB of int32 labels; far above any watershed tile).
 struct Entry {
   double prio;
   long long age;
-  long long idx;
-  long long src;
+  int32_t idx;
+  int32_t src;
 };
 
-struct EntryCmp {
-  bool operator()(const Entry& a, const Entry& b) const {
-    if (a.prio != b.prio) return a.prio > b.prio;  // min-heap on priority
-    return a.age > b.age;                          // FIFO tie-break
+inline bool entry_less(const Entry& a, const Entry& b) {
+  // min-heap on (priority, age): `a` comes out before `b`
+  if (a.prio != b.prio) return a.prio < b.prio;
+  return a.age < b.age;
+}
+
+// 4-ary min-heap: ~half the cache misses of a binary heap on large queues.
+class MinHeap4 {
+ public:
+  void reserve(size_t n) { v_.reserve(n); }
+  bool empty() const { return v_.empty(); }
+  const Entry& top() const { return v_[0]; }
+  void push(const Entry& e) {
+    v_.push_back(e);
+    size_t i = v_.size() - 1;
+    while (i > 0) {
+      size_t p = (i - 1) >> 2;
+      if (!entry_less(v_[i], v_[p])) break;
+      std::swap(v_[i], v_[p]);
+      i = p;
+    }
   }
+  void pop() {
+    Entry last = v_.back();
+    v_.pop_back();
+    if (v_.empty()) return;
+    size_t n = v_.size(), i = 0;
+    for (;;) {
+      size_t c0 = 4 * i + 1;
+      if (c0 >= n) break;
+      size_t best = c0;
+      size_t cend = std::min(c0 + 4, n);
+      for (size_t c = c0 + 1; c < cend; ++c)
+        if (entry_less(v_[c], v_[best])) best = c;
+      if (!entry_less(v_[best], last)) break;
+      v_[i] = v_[best];
+      i = best;
+    }
+    v_[i] = last;
+  }
+
+ private:
+  std::vector<Entry> v_;
 };
 
 struct Offset {
   int dx, dy, dz, m;
 };
 
-}  // namespace
+// watershed-line pixels are resolved with a sentinel during the flood
+// (never re-claimed, never flooded through, and not a "different region"
+// for the line test) and emitted as 0 — see tests/watershed_oracle.py.
+constexpr int32_t LINE = -2147483647;
 
-extern "C" {
+double now_s() {
+  return std::chrono::duration<double>(
+             std::chrono::steady_clock::now().time_since_epoch())
+      .count();
+}
 
-// image: float64[n], markers(in/out): int32[n], mask: uint8[n]
-// dims: int64[3] (X, Y, Z); set Z=1 for 2D.
-// Returns 0 on success.
-int watershed3d(const double* image, int32_t* output, const uint8_t* mask,
-                const int64_t* dims, int connectivity, double compactness,
-                int watershed_line) {
-  const int64_t X = dims[0], Y = dims[1], Z = dims[2];
-  const int64_t n = X * Y * Z;
+bool timing_enabled() {
+  static bool on = std::getenv("HCUNET_NATIVE_TIMING") != nullptr;
+  return on;
+}
+
+// Shared priority flood over an [X, Y, Z] volume whose image values come
+// through `img` (long long raveled idx -> double).  `output` carries the
+// initial markers (already cleared outside the mask and pushed by the
+// caller via `push_markers`), `mask` limits flooding.
+template <typename ImageFn>
+void flood(const ImageFn& img, int32_t* output, const uint8_t* mask,
+           int64_t X, int64_t Y, int64_t Z, int connectivity,
+           double compactness, int watershed_line, MinHeap4& heap,
+           long long age) {
   const int64_t sx = Y * Z, sy = Z, sz = 1;
 
   // neighbor offsets: C-order enumeration, stable-sorted by squared
@@ -85,29 +149,12 @@ int watershed3d(const double* image, int32_t* output, const uint8_t* mask,
   }
   const size_t n_off = offs.size();
 
-  std::priority_queue<Entry, std::vector<Entry>, EntryCmp> heap;
-  long long age = 0;
-
   auto coords = [&](long long idx, long long& x, long long& y, long long& z) {
     x = idx / sx;
     y = (idx % sx) / sy;
     z = idx % sy;
   };
 
-  // markers outside the mask are cleared; the rest are pushed in raveled
-  // order with strictly increasing ages.
-  for (long long i = 0; i < n; ++i) {
-    if (mask && !mask[i]) {
-      output[i] = 0;
-    } else if (output[i] != 0) {
-      heap.push(Entry{image[i], age++, i, i});
-    }
-  }
-
-  // watershed-line pixels are resolved with a sentinel during the flood
-  // (never re-claimed, never flooded through, and not a "different region"
-  // for the line test) and emitted as 0 — see tests/watershed_oracle.py.
-  const int32_t LINE = -2147483647;
   long long px, py, pz, qx, qy, qz, sxx, syy, szz;
   while (!heap.empty()) {
     Entry e = heap.top();
@@ -135,17 +182,208 @@ int watershed3d(const double* image, int32_t* output, const uint8_t* mask,
         break;
       }
       if (output[q] != 0) continue;
-      double prio = image[q];
+      double prio = img(q);
       if (compactness > 0) {
         double ddx = (double)(qx - sxx), ddy = (double)(qy - syy),
                ddz = (double)(qz - szz);
         prio += compactness * std::sqrt(ddx * ddx + ddy * ddy + ddz * ddz);
       }
-      heap.push(Entry{prio, age++, q, e.src});
+      heap.push(Entry{prio, age++, (int32_t)q, e.src});
     }
   }
+}
+
+}  // namespace
+
+extern "C" {
+
+// image: float64[n], markers(in/out): int32[n], mask: uint8[n]
+// dims: int64[3] (X, Y, Z); set Z=1 for 2D.
+// Returns 0 on success.
+int watershed3d(const double* image, int32_t* output, const uint8_t* mask,
+                const int64_t* dims, int connectivity, double compactness,
+                int watershed_line) {
+  const int64_t X = dims[0], Y = dims[1], Z = dims[2];
+  const int64_t n = X * Y * Z;
+  if (n >= (int64_t)1 << 31) return 3;
+
+  MinHeap4 heap;
+  long long age = 0;
+
+  // markers outside the mask are cleared; the rest are pushed in raveled
+  // order with strictly increasing ages.
+  for (long long i = 0; i < n; ++i) {
+    if (mask && !mask[i]) {
+      output[i] = 0;
+    } else if (output[i] != 0) {
+      heap.push(Entry{image[i], age++, (int32_t)i, (int32_t)i});
+    }
+  }
+
+  flood([image](long long i) { return image[i]; }, output, mask, X, Y, Z,
+        connectivity, compactness, watershed_line, heap, age);
+
   for (long long i = 0; i < n; ++i)
     if (output[i] == LINE) output[i] = 0;
+  return 0;
+}
+
+// Fused instance-segmentation tile (hcat/segment.py:444-480 semantics):
+// given UNEXPANDED [X, Y, Z] inputs, computes — without materializing the
+// float64 expanded volumes — the exact equivalent of
+//
+//     dist_e = repeat(distance, expand_z, axis=2)
+//     seed_e = repeat(seed, expand_z, axis=2)
+//     mask_e = repeat(binary, expand_z, axis=2)
+//     dist_e[dist_e < distance_floor] = 0
+//     mask_e = binary_dilation(mask_e, iterations=expand_mask)   (cross SE)
+//     seed_e[dist_e < seed_background_below] = 1
+//     labels_e = watershed3d(-dist_e, seed_e, mask_e, conn, comp, line=1)
+//     labels_out = labels_e[:, :, ::expand_z]
+//
+// distance: float64[X*Y*Z]; binary: uint8; seed: int32; labels_out: int32.
+// Returns 0 on success, nonzero on bad arguments / allocation failure.
+int instance_tile3d(const double* distance, const uint8_t* binary,
+                    const int32_t* seed, int32_t* labels_out,
+                    const int64_t* dims, int expand_z, int expand_mask,
+                    double distance_floor, double seed_background_below,
+                    int connectivity, double compactness,
+                    int watershed_line) {
+  const int64_t X = dims[0], Y = dims[1], Z = dims[2];
+  if (expand_z < 1) return 1;
+  const int64_t Ze = Z * expand_z;
+  const int64_t ne = X * Y * Ze;
+  if (ne >= (int64_t)1 << 31) return 3;
+  const int E = expand_z;
+  const bool tim = timing_enabled();
+  double t0 = tim ? now_s() : 0.0;
+
+  // expanded image accessor: floored, negated replicate of `distance`
+  auto img = [&](long long ie) {
+    long long col = ie / Ze;          // x * Y + y
+    long long z = (ie % Ze) / E;      // original z
+    double v = distance[col * Z + z];
+    if (v < distance_floor) v = 0.0;
+    return -v;
+  };
+
+  // --- expanded mask: z-replication then iterated cross dilation, done as
+  // an exact two-pass taxicab chamfer (L1 distance <= expand_mask) ---
+  std::vector<uint8_t> mask_e;
+  std::vector<int32_t> cham;
+  try {
+    mask_e.resize(ne);
+  } catch (...) {
+    return 2;
+  }
+  for (long long col = 0; col < X * Y; ++col) {
+    const uint8_t* src = binary + col * Z;
+    uint8_t* dst = mask_e.data() + col * Ze;
+    for (long long z = 0; z < Z; ++z)
+      std::memset(dst + z * E, src[z] ? 1 : 0, E);
+  }
+  if (expand_mask > 0) {
+    const int32_t INF = 1 << 29;
+    try {
+      cham.resize(ne);
+    } catch (...) {
+      return 2;
+    }
+    const int64_t sx = Y * Ze, sy = Ze;
+    for (long long i = 0; i < ne; ++i) cham[i] = mask_e[i] ? 0 : INF;
+    // forward raster scan
+    for (long long x = 0; x < X; ++x)
+      for (long long y = 0; y < Y; ++y) {
+        int32_t* row = cham.data() + x * sx + y * sy;
+        const int32_t* up = (x > 0) ? row - sx : nullptr;
+        const int32_t* left = (y > 0) ? row - sy : nullptr;
+        for (long long z = 0; z < Ze; ++z) {
+          int32_t d = row[z];
+          if (z > 0 && row[z - 1] + 1 < d) d = row[z - 1] + 1;
+          if (left && left[z] + 1 < d) d = left[z] + 1;
+          if (up && up[z] + 1 < d) d = up[z] + 1;
+          row[z] = d;
+        }
+      }
+    // backward raster scan
+    for (long long x = X - 1; x >= 0; --x)
+      for (long long y = Y - 1; y >= 0; --y) {
+        int32_t* row = cham.data() + x * sx + y * sy;
+        const int32_t* down = (x < X - 1) ? row + sx : nullptr;
+        const int32_t* right = (y < Y - 1) ? row + sy : nullptr;
+        for (long long z = Ze - 1; z >= 0; --z) {
+          int32_t d = row[z];
+          if (z < Ze - 1 && row[z + 1] + 1 < d) d = row[z + 1] + 1;
+          if (right && right[z] + 1 < d) d = right[z] + 1;
+          if (down && down[z] + 1 < d) d = down[z] + 1;
+          row[z] = d;
+        }
+      }
+    for (long long i = 0; i < ne; ++i) mask_e[i] = cham[i] <= expand_mask;
+    cham.clear();
+    cham.shrink_to_fit();
+  }
+  if (tim) {
+    fprintf(stderr, "[instance_tile3d] chamfer dilation: %.3fs\n",
+            now_s() - t0);
+    t0 = now_s();
+  }
+
+  // --- expanded label volume: replicated seeds + background seed where the
+  // (floored) height is below seed_background_below; markers outside the
+  // mask are cleared; pushes happen in expanded raveled order (ages match
+  // the materialized path bit-for-bit) ---
+  std::vector<int32_t> out_e;
+  try {
+    out_e.resize(ne);
+  } catch (...) {
+    return 2;
+  }
+  MinHeap4 heap;
+  heap.reserve((size_t)std::min<int64_t>(ne / 4 + 1024, 1 << 26));
+  long long age = 0;
+  // iterate (col, z, r) nested — expanded raveled order without divisions
+  long long ie = 0;
+  for (long long col = 0; col < X * Y; ++col) {
+    const double* dcol = distance + col * Z;
+    const int32_t* scol = seed + col * Z;
+    for (long long z = 0; z < Z; ++z) {
+      double v = dcol[z];
+      if (v < distance_floor) v = 0.0;
+      int32_t lab = scol[z];
+      if (v < seed_background_below) lab = 1;
+      const double nv = -v;
+      for (int r = 0; r < E; ++r, ++ie) {
+        if (!mask_e[ie]) {
+          out_e[ie] = 0;
+        } else {
+          out_e[ie] = lab;
+          if (lab != 0) heap.push(Entry{nv, age++, (int32_t)ie, (int32_t)ie});
+        }
+      }
+    }
+  }
+  if (tim) {
+    fprintf(stderr, "[instance_tile3d] seed init: %.3fs\n", now_s() - t0);
+    t0 = now_s();
+  }
+
+  flood(img, out_e.data(), mask_e.data(), X, Y, Ze, connectivity, compactness,
+        watershed_line, heap, age);
+  if (tim) {
+    fprintf(stderr, "[instance_tile3d] flood: %.3fs\n", now_s() - t0);
+    t0 = now_s();
+  }
+
+  // decimate z back (replica r=0), resolving line sentinels to 0
+  for (long long col = 0; col < X * Y; ++col) {
+    const int32_t* src = out_e.data() + col * Ze;
+    int32_t* dst = labels_out + col * Z;
+    for (long long z = 0; z < Z; ++z) {
+      int32_t v = src[z * E];
+      dst[z] = (v == LINE) ? 0 : v;
+    }
+  }
   return 0;
 }
 

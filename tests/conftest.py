@@ -30,6 +30,41 @@ if REPO_ROOT not in sys.path:
 import numpy as np
 import pytest
 
+# Long-running tests (>10 s on this machine, mostly whole-model compiles or
+# training loops) carry the ``slow`` marker so iteration runs can use
+# ``pytest -m 'not slow'`` (~2 min) while full/oracle runs keep everything.
+# Kept in one place instead of scattered decorators.
+SLOW_TESTS = {
+    "test_detector_learns_synthetic_box",
+    "test_detect_contract",
+    "test_tiled_detection_driver",
+    "test_analyze_with_trained_detector_localizes_cells",
+    "test_analyze_end_to_end",
+    "test_analyze_resumes_from_journal",
+    "test_sharded_train_step_runs_and_matches_single",
+    "test_spatial_sharded_forward_matches_dense",
+    "test_tiled_matches_dense_when_aligned",
+    "test_reference_grid_parity_with_torch_oracle",
+    "test_fused_postprocess_matches_scipy",
+    "test_tiled_threshold_output_uint8",
+    "test_readme_2d_quickstart_trains",
+    "test_unet_gradient_parity_with_reference",
+    "test_matched_sgd_training_trajectory",
+    "test_unet_forward_parity_with_reference",
+    "test_unet_rejects_too_small_input",
+    "test_runet_fixed_skips_run",
+    "test_rdcnet_shape_invariance",
+    "test_runet_parity",
+    "test_segmenter_bf16",
+    "test_training_state_resume",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.name.split("[")[0] in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def rng():

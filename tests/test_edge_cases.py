@@ -52,7 +52,13 @@ def test_binary_instance_mask_path():
     unique, _ = generate_unique_segmentation_mask(
         mask, cands, WatershedConfig(expand_mask=1, z_tolerance=2)
     )
-    assert (unique[10:18, 10:18, 1] > 0).any()
+    # Under exact skimage flood semantics, z=1 decimates from the first
+    # expanded region plane, which sits next to the background-marker slab
+    # below and therefore becomes all watershed lines (markers pre-label the
+    # output, so the line test fires on first contact).  The cell's interior
+    # planes keep their label.
+    assert (unique[10:18, 10:18, 2] > 0).any()
+    assert unique.max() >= 2
 
 
 def test_reference_tile_windows_cover_volume():

@@ -128,3 +128,152 @@ def test_watershed_unmasked_matches_oracle():
     np.testing.assert_array_equal(got, want)
     # with no mask every voxel is claimed by a region or a line
     assert ((got == 0) | (got == 1) | (got == 2)).all()
+
+
+# ---------------------------------------------------------------------------
+# Fused instance tile (native/watershed.cpp:instance_tile3d): virtual
+# z-expansion + chamfer dilation + flood must be bit-identical to literally
+# materializing the expanded volumes (the reference's hcat/segment.py:444-480
+# procedure, here the "materialized" python path).
+# ---------------------------------------------------------------------------
+
+
+def _instance_scene(rng, shape, n_cells):
+    X, Y, Z = shape
+    xx, yy, zz = np.meshgrid(
+        np.arange(X), np.arange(Y), np.arange(Z), indexing="ij"
+    )
+    prob = np.zeros(shape, np.float32)
+    for _ in range(n_cells):
+        x0, y0 = rng.uniform(8, X - 8), rng.uniform(8, Y - 8)
+        d2 = ((xx - x0) ** 2 + (yy - y0) ** 2) / 60 + (zz - Z / 2) ** 2 / 8
+        prob = np.maximum(prob, np.exp(-d2)).astype(np.float32)
+    prob = np.where(prob < 0.25, 0.0, prob) * 10.0  # pipeline-style scaling
+    return prob
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_fused_instance_tile_matches_materialized(seed):
+    from hcunet_tpu.ops.watershed import instance_tile
+    from scipy import ndimage as ndi
+
+    rng = np.random.default_rng(seed)
+    prob = _instance_scene(rng, (72, 64, 6), 6)
+    # normalized height map exactly as infer/instance.py builds it
+    tile = prob.astype(np.float64) + 1e-8
+    tile -= tile.min()
+    tile /= tile.max()
+    binary = tile > 0.5
+    seeds = np.zeros(tile.shape, np.int32)
+    for i in range(4):
+        x, y = int(rng.uniform(10, 60)), int(rng.uniform(10, 50))
+        seeds[x : x + 2, y : y + 2, 2:4] = i + 2
+
+    kw = dict(connectivity=1, compactness=0.01, watershed_line=True)
+    ez, em, floor, bg = 5, 3, 0.2, 0.15
+
+    got = instance_tile(
+        tile, binary, seeds, expand_z=ez, expand_mask=em,
+        distance_floor=floor, seed_background_below=bg, **kw,
+    )
+
+    dist_e = np.repeat(tile, ez, axis=2)
+    seed_e = np.repeat(seeds, ez, axis=2)
+    mask_e = np.repeat(binary, ez, axis=2)
+    dist_e[dist_e < floor] = 0
+    mask_e = ndi.binary_dilation(mask_e, iterations=em)
+    seed_e[dist_e < bg] = 1
+    want = watershed(-dist_e, seed_e, mask=mask_e, **kw)[:, :, ::ez]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fused_backend_equals_materialized_end_to_end():
+    """Whole instance segmenter: backend='fused' vs 'materialized'."""
+    from hcunet_tpu.config import WatershedConfig
+    from hcunet_tpu.infer.instance import generate_unique_segmentation_mask
+
+    rng = np.random.default_rng(7)
+    prob = _instance_scene(rng, (96, 96, 8), 8)
+    n = 8
+    boxes, zs = [], []
+    for _ in range(n):
+        x, y = rng.uniform(12, 84), rng.uniform(12, 84)
+        boxes.append([x - 8, y - 8, x + 8, y + 8])
+    cand = {
+        "boxes": np.asarray(boxes, np.float32),
+        "scores": np.full(n, 0.9, np.float32),
+        "labels": np.ones(n, np.int32),
+        "z_level": np.full(n, 4.0, np.float32),
+    }
+    lf, sf = generate_unique_segmentation_mask(
+        prob, cand, WatershedConfig(backend="fused")
+    )
+    lm, sm = generate_unique_segmentation_mask(
+        prob, cand, WatershedConfig(backend="materialized")
+    )
+    np.testing.assert_array_equal(sf, sm)
+    np.testing.assert_array_equal(lf, lm)
+
+
+def test_fused_instance_tile_binary_edt_path():
+    """uint8 masks (EDT height map) through both backends."""
+    from hcunet_tpu.config import WatershedConfig
+    from hcunet_tpu.infer.instance import generate_unique_segmentation_mask
+
+    mask = np.zeros((48, 40, 5), np.uint8)
+    mask[6:20, 6:20, 1:4] = 1
+    mask[26:40, 18:34, 1:4] = 1
+    cand = {
+        "boxes": np.asarray(
+            [[6, 6, 20, 20], [26, 18, 40, 34]], np.float32
+        ),
+        "scores": np.asarray([0.9, 0.9], np.float32),
+        "labels": np.asarray([1, 1], np.int32),
+        "z_level": np.asarray([2.0, 2.0], np.float32),
+    }
+    lf, _ = generate_unique_segmentation_mask(
+        mask, cand, WatershedConfig(backend="fused", expand_mask=2)
+    )
+    lm, _ = generate_unique_segmentation_mask(
+        mask, cand, WatershedConfig(backend="materialized", expand_mask=2)
+    )
+    np.testing.assert_array_equal(lf, lm)
+    assert lf.max() >= 2
+
+
+def test_device_backend_agrees_on_clean_scene():
+    """backend='device' (on-device minimax relaxation) recovers the same
+    instances as the exact flood on a well-separated scene; per-instance
+    agreement is high away from plateau ties."""
+    from hcunet_tpu.config import WatershedConfig
+    from hcunet_tpu.infer.instance import generate_unique_segmentation_mask
+
+    rng = np.random.default_rng(11)
+    prob = _instance_scene(rng, (96, 96, 6), 5)
+    boxes = []
+    # place boxes on actual blobs: local maxima of the max-projection
+    proj = prob.max(2)
+    for _ in range(5):
+        x, y = np.unravel_index(np.argmax(proj), proj.shape)
+        boxes.append([x - 8, y - 8, x + 8, y + 8])
+        proj[max(0, x - 10) : x + 10, max(0, y - 10) : y + 10] = 0
+    cand = {
+        "boxes": np.asarray(boxes, np.float32),
+        "scores": np.full(5, 0.9, np.float32),
+        "labels": np.ones(5, np.int32),
+        "z_level": np.full(5, 3.0, np.float32),
+    }
+    exact, _ = generate_unique_segmentation_mask(
+        prob, cand, WatershedConfig(backend="fused")
+    )
+    dev, _ = generate_unique_segmentation_mask(
+        prob, cand, WatershedConfig(backend="device")
+    )
+    ids = np.unique(exact)
+    ids = ids[ids > 0]
+    assert len(ids) >= 4
+    for i in ids:
+        a, b = exact == i, dev == i
+        inter = (a & b).sum()
+        union = (a | b).sum()
+        assert union > 0 and inter / union > 0.6, f"instance {i} IoU too low"
