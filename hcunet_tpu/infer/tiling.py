@@ -54,51 +54,24 @@ def _check_geometry(
             )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "eval_size",
-        "pad",
-        "batch",
-        "use_probability_map",
-        "threshold",
-        "n_tiles",
-        "postprocess",
-    ),
-)
-def _tiled_forward(
-    apply_fn,  # a jax.tree_util.Partial — params ride along as traced leaves
-    image: jnp.ndarray,
+def _eval_tile_grid(
+    padded: jnp.ndarray,
     *,
     eval_size: Tuple[int, ...],
     pad: Tuple[int, ...],
     batch: int,
     n_tiles: Tuple[int, ...],
+    apply_fn,
     use_probability_map: bool,
     threshold: float,
-    postprocess: Optional[Tuple[float, float, float]] = None,
 ):
-    """Scrub, pad, and evaluate the regular tile grid — one fused program.
+    """Evaluate the regular tile grid over an already-padded volume.
 
-    ``image``: [1, X, Y, Z, C] (not donated — callers may reuse the buffer
-    across calls, e.g. benchmarking and multi-pass pipelines).  Returns the
-    trimmed [1, X, Y, Z, Cout] result.  Everything lives in a single jit so
-    a call costs one dispatch — important on remote-attached TPUs where each
-    eager op pays a host round-trip.
+    ``padded``: [1, nx*ex + 2*px (+overhang), ..., C].  Returns the
+    reassembled [1, nx*ex, ny*ey, nz*ez, Cout] core.  Shared by the
+    single-device path (reflection padding) and the multi-device path
+    (``hcunet_tpu.parallel.tiled``, halo exchange over ICI).
     """
-    spatial = image.shape[1:-1]
-
-    # nan/inf scrub (segment.py:66-67)
-    image = jnp.nan_to_num(image, nan=0.0, posinf=1.0, neginf=0.0)
-
-    # halo by reflection (like the reference), then right-pad the ragged
-    # grid overhang with edge replication — the overhang only feeds halo
-    # regions that get cropped or trimmed anyway.
-    padded = reflection_pad(image, pad)
-    overhang = [n * e - s for n, e, s in zip(n_tiles, eval_size, spatial)]
-    widths = [(0, 0)] + [(0, int(o)) for o in overhang] + [(0, 0)]
-    padded = jnp.pad(padded, widths, mode="edge")
-
     tile_in = tuple(e + 2 * p for e, p in zip(eval_size, pad))
     nx, ny, nz = n_tiles
     n = nx * ny * nz
@@ -150,8 +123,65 @@ def _tiled_forward(
     c_out = outs.shape[-1]
     outs = outs.reshape(nx, ny, nz, *eval_size, c_out)
     outs = jnp.transpose(outs, (0, 3, 1, 4, 2, 5, 6))
-    full = outs.reshape(
+    return outs.reshape(
         1, nx * eval_size[0], ny * eval_size[1], nz * eval_size[2], c_out
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "eval_size",
+        "pad",
+        "batch",
+        "use_probability_map",
+        "threshold",
+        "n_tiles",
+        "postprocess",
+    ),
+)
+def _tiled_forward(
+    apply_fn,  # a jax.tree_util.Partial — params ride along as traced leaves
+    image: jnp.ndarray,
+    *,
+    eval_size: Tuple[int, ...],
+    pad: Tuple[int, ...],
+    batch: int,
+    n_tiles: Tuple[int, ...],
+    use_probability_map: bool,
+    threshold: float,
+    postprocess: Optional[Tuple[float, float, float]] = None,
+):
+    """Scrub, pad, and evaluate the regular tile grid — one fused program.
+
+    ``image``: [1, X, Y, Z, C] (not donated — callers may reuse the buffer
+    across calls, e.g. benchmarking and multi-pass pipelines).  Returns the
+    trimmed [1, X, Y, Z, Cout] result.  Everything lives in a single jit so
+    a call costs one dispatch — important on remote-attached TPUs where each
+    eager op pays a host round-trip.
+    """
+    spatial = image.shape[1:-1]
+
+    # nan/inf scrub (segment.py:66-67)
+    image = jnp.nan_to_num(image, nan=0.0, posinf=1.0, neginf=0.0)
+
+    # halo by reflection (like the reference), then right-pad the ragged
+    # grid overhang with edge replication — the overhang only feeds halo
+    # regions that get cropped or trimmed anyway.
+    padded = reflection_pad(image, pad)
+    overhang = [n * e - s for n, e, s in zip(n_tiles, eval_size, spatial)]
+    widths = [(0, 0)] + [(0, int(o)) for o in overhang] + [(0, 0)]
+    padded = jnp.pad(padded, widths, mode="edge")
+
+    full = _eval_tile_grid(
+        padded,
+        eval_size=eval_size,
+        pad=pad,
+        batch=batch,
+        n_tiles=n_tiles,
+        apply_fn=apply_fn,
+        use_probability_map=use_probability_map,
+        threshold=threshold,
     )
     # trim grid-rounding overhang back to the true volume
     full = full[:, : spatial[0], : spatial[1], : spatial[2], :]
