@@ -185,11 +185,13 @@ class FasterRCNN(nn.Module):
     config: DetectorConfig
     backbone: str = "resnet50"
     dtype: Any = jnp.float32
+    backbone_width: int = 64  # 64 = real resnet50; smaller for tests
 
     @nn.compact
     def __call__(self, images, train: bool = False):
         if self.backbone == "resnet50":
-            feats = ResNet(dtype=self.dtype, name="body")(images, train)
+            feats = ResNet(width=self.backbone_width, dtype=self.dtype,
+                           name="body")(images, train)
         elif self.backbone == "small":
             feats = SmallBackbone(dtype=self.dtype, name="body")(images, train)
         else:
@@ -223,9 +225,10 @@ class Detector:
     BOX_WEIGHTS = (10.0, 10.0, 5.0, 5.0)
 
     def __init__(self, config: DetectorConfig = DetectorConfig(),
-                 backbone: str = "resnet50", dtype=jnp.float32):
+                 backbone: str = "resnet50", dtype=jnp.float32,
+                 backbone_width: int = 64):
         self.config = config
-        self.trunk = FasterRCNN(config, backbone, dtype)
+        self.trunk = FasterRCNN(config, backbone, dtype, backbone_width)
         self.head = RoIClassifier(config, dtype)
         self.dtype = dtype
 
