@@ -35,9 +35,18 @@ def main():
         cfg, jax.random.PRNGKey(0), input_spatial=(140, 140, 10),
         dtype=jnp.bfloat16,
     )
-    apply_fn = jax.tree_util.Partial(
-        lambda v, t: model.apply(v, t, train=False), variables
-    )
+    if "--plain" in sys.argv:
+        apply_fn = jax.tree_util.Partial(
+            lambda v, t: model.apply(v, t, train=False), variables
+        )
+    else:
+        # production serving path: BN-folded, z-block lane-packed forward
+        # (infer/compile.py) — numerically parity-tested vs model.apply
+        from hcunet_tpu.infer.compile import compile_serving_apply
+
+        apply_fn = jax.tree_util.Partial(
+            compile_serving_apply(model, variables, dtype=jnp.bfloat16)
+        )
     # Geometry from the HBM auto-tuner (derives the halo from the network's
     # measured shrink and sizes batch/tile to HBM); on a 16 GB v5e it picks
     # eval (384,384,15), pad (56,56,4), batch 6 — see BASELINE.md.
