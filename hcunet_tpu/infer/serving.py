@@ -34,6 +34,7 @@ class Segmenter:
         use_probability_map: bool = True,
         postprocess: Optional[Tuple[float, float, float]] = None,
         dtype=None,
+        packed: bool = True,
     ):
         import jax
 
@@ -45,9 +46,24 @@ class Segmenter:
         self.tile_cfg = tile_cfg or auto_tile_config(self.cfg)
         self.use_probability_map = use_probability_map
         self.postprocess = postprocess
-        self.apply_fn = jax.tree_util.Partial(
-            lambda v, t: model.apply(v, t, train=False), variables
-        )
+        if packed:
+            # production path: BN-folded, z-block lane-packed forward
+            # (infer/compile.py; falls back to plain apply for 2D/dilated
+            # configs). ~1.3x per tile batch on v5e, parity-tested.
+            from hcunet_tpu.infer.compile import compile_serving_apply
+
+            import jax.numpy as jnp
+
+            self.apply_fn = jax.tree_util.Partial(
+                compile_serving_apply(
+                    model, variables,
+                    dtype=getattr(model, "dtype", None) or jnp.float32,
+                )
+            )
+        else:
+            self.apply_fn = jax.tree_util.Partial(
+                lambda v, t: model.apply(v, t, train=False), variables
+            )
 
     @classmethod
     def from_checkpoint(cls, path: str, dtype=None, **kwargs) -> "Segmenter":

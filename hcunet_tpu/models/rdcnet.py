@@ -3,8 +3,9 @@ with its StackedDilation block (``r_unet.py:339-364``).
 
 Structure: stride-2 input conv → 10 iterations of
 ``y = RDCBlock(cat(x, y)) + y`` → 3×3 conv → transpose-conv back to full
-resolution.  The iteration is a ``lax.scan``-shaped recurrence (unrolled —
-XLA dedupes the 10 identical bodies).
+resolution.  The iteration is an ``nn.scan`` recurrence — one traced body
+instead of 10 unrolled copies (unrolled, the 50 dilated 3D convs stall the
+remote TPU compiler past 10 minutes; scanned it compiles in seconds).
 
 StackedDilation evaluates five 5×5×5 convs at dilations 1..5 (paddings
 2,4,6,8,10 keep spatial size) and merges with a 1×1 conv.  On TPU the five
@@ -82,6 +83,22 @@ class RDCBlock(nn.Module):
         return StackedDilation(self.features, dtype=self.dtype)(x)
 
 
+class _RDCStep(nn.Module):
+    """One recurrence iteration (``y = RDCBlock(cat(x, y)) + y``) — scanned
+    by :class:`RDCNet` with broadcast (shared) params."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, _):
+        x, y = carry
+        y = RDCBlock(self.features, self.dtype, name="rdc_block")(
+            jnp.concatenate([x, y], axis=-1)
+        ) + y
+        return (x, y), None
+
+
 class RDCNet(nn.Module):
     """The full recurrent dilated model."""
 
@@ -107,10 +124,15 @@ class RDCNet(nn.Module):
             stride=2, padding=1,
         )
 
-        block = RDCBlock(c, self.dtype, name="rdc_block")
-        y = jnp.zeros_like(x)
-        for _ in range(cfg.timesteps):
-            y = block(jnp.concatenate([x, y], axis=-1)) + y
+        scan = nn.scan(
+            _RDCStep,
+            variable_broadcast=["params"],
+            split_rngs={"params": False},
+            length=cfg.timesteps,
+        )
+        (_, y), _ = scan(c, self.dtype, name="step")(
+            (x, jnp.zeros_like(x)), None
+        )
 
         w_out = self.param(
             "out_kernel", nn.initializers.he_normal(), (3, 3, 3, c, c), jnp.float32

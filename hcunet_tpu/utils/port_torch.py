@@ -165,10 +165,14 @@ def rdcnet_variables_from_torch_state_dict(sd: Mapping) -> Dict:
     params = {
         "in_kernel": conv_weight_to_jax(sd["strided_conv.weight"]),
         "in_bias": _np(sd["strided_conv.bias"]),
-        "rdc_block": {
-            "squeeze_kernel": conv_weight_to_jax(sd["RDCblock.conv.weight"]),
-            "squeeze_bias": _np(sd["RDCblock.conv.bias"]),
-            "StackedDilation_0": sdil,
+        # the recurrence body is an ``nn.scan``-wrapped submodule named
+        # ``step`` (shared weights across timesteps), like RecursiveUNet
+        "step": {
+            "rdc_block": {
+                "squeeze_kernel": conv_weight_to_jax(sd["RDCblock.conv.weight"]),
+                "squeeze_bias": _np(sd["RDCblock.conv.bias"]),
+                "StackedDilation_0": sdil,
+            },
         },
         "out_kernel": conv_weight_to_jax(sd["out_conv.weight"]),
         "out_bias": _np(sd["out_conv.bias"]),
