@@ -95,6 +95,57 @@ def validate_segmentation(
 
 
 # ---------------------------------------------------------------------------
+# legacy result loading (``validate.py:16-31``)
+# ---------------------------------------------------------------------------
+
+
+def load_legacy_cells(path: str) -> List:
+    """Load a reference-era ``all_cells.pkl``.
+
+    The reference pickles ``HairCell`` objects under two historical module
+    paths (``haircell`` and ``hcat.haircell``, see the RenameUnpickler shim
+    at ``validate.py:16-31``); neither exists here, so both resolve to a
+    plain attribute-carrying shim class.  Torch-tensor statistics inside
+    ``signal_stats``/``gfp_stats`` are converted to floats.  Returned
+    objects expose the attribute surface ``StudyAggregate.add_image`` needs
+    (``unique_id``, ``volume``, ``is_bad``, ``signal_stats``,
+    ``distance_from_apex``).
+    """
+    import io
+    import pickle
+
+    class _LegacyHairCell:
+        distance_from_apex: list = []
+
+    class _Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            if name == "HairCell" and module in (
+                "haircell", "hcat.haircell", "hcunet_tpu.analysis.haircell",
+            ):
+                return _LegacyHairCell
+            return super().find_class(module, name)
+
+    def _scalar(v):
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return v
+
+    with open(path, "rb") as f:
+        cells = _Unpickler(io.BufferedReader(f)).load()
+    for c in cells:
+        for attr in ("signal_stats", "gfp_stats"):
+            stats = getattr(c, attr, None)
+            if isinstance(stats, dict):
+                for k, v in stats.items():
+                    if isinstance(v, dict):
+                        stats[k] = {kk: _scalar(vv) for kk, vv in v.items()}
+                    else:
+                        stats[k] = _scalar(v)
+    return cells
+
+
+# ---------------------------------------------------------------------------
 # study-level aggregation
 # ---------------------------------------------------------------------------
 
@@ -174,3 +225,76 @@ class StudyAggregate:
             "r2": 1.0 - ss_res / ss_tot,
             "n": len(xs),
         }
+
+    def save_figures(
+        self,
+        out_dir: str,
+        channels: Sequence[str] = ("dapi", "gfp", "myo7a", "actin"),
+        group_by: str = "promoter",
+    ) -> List[str]:
+        """The study plots of ``validate.py:386-415``: per-channel intensity
+        boxplots grouped by experiment metadata, and the GFP-vs-gain
+        scatter with the fitted regression line.  Returns saved paths."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        os.makedirs(out_dir, exist_ok=True)
+        saved: List[str] = []
+
+        groups: Dict[str, List[Dict]] = {}
+        for r in self.rows:
+            groups.setdefault(str(r.get(group_by)), []).append(r)
+
+        fig, axes = plt.subplots(
+            1, len(channels), figsize=(3.2 * len(channels), 4), squeeze=False
+        )
+        for ax, ch in zip(axes[0], channels):
+            data, labels = [], []
+            for g, rows in sorted(groups.items()):
+                vals = [
+                    r[f"{ch}_mean"] for r in rows
+                    if r.get(f"{ch}_mean") is not None
+                    and np.isfinite(r[f"{ch}_mean"])
+                ]
+                if vals:
+                    data.append(vals)
+                    labels.append(g)
+            if data:
+                ax.boxplot(data, tick_labels=labels)
+            ax.set_title(ch)
+            ax.tick_params(axis="x", rotation=45)
+        fig.suptitle(f"per-cell mean intensity by {group_by}")
+        fig.tight_layout()
+        p = os.path.join(out_dir, "channel_boxplots.png")
+        fig.savefig(p, dpi=120)
+        plt.close(fig)
+        saved.append(p)
+
+        reg = self.gfp_vs_gain_regression()
+        if reg is not None:
+            xs = [
+                float(r["gain"]) for r in self.rows
+                if r.get("gain") is not None and r.get("gfp_mean") is not None
+                and np.isfinite(r["gfp_mean"])
+            ]
+            ys = [
+                float(r["gfp_mean"]) for r in self.rows
+                if r.get("gain") is not None and r.get("gfp_mean") is not None
+                and np.isfinite(r["gfp_mean"])
+            ]
+            fig, ax = plt.subplots(figsize=(5, 4))
+            ax.plot(xs, ys, ".", alpha=0.5)
+            gx = np.linspace(min(xs), max(xs), 10)
+            ax.plot(gx, reg["slope"] * gx + reg["intercept"], "r-",
+                    label=f"r²={reg['r2']:.2f} n={reg['n']}")
+            ax.set_xlabel("gain")
+            ax.set_ylabel("mean GFP")
+            ax.legend()
+            fig.tight_layout()
+            p = os.path.join(out_dir, "gfp_vs_gain.png")
+            fig.savefig(p, dpi=120)
+            plt.close(fig)
+            saved.append(p)
+        return saved

@@ -10,6 +10,12 @@ Baseline (BASELINE.md): the PyTorch reference on this machine's CPU does
 ``scripts/measure_torch_baseline.py``; the reference publishes no numbers).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``--pipeline`` instead benchmarks the full ``analyze()`` — detection +
+segmentation + instance watershed + analytics (``hcat/main.py:20-236``) on a
+synthetic multi-chunk cell scene, against a torch-CPU estimate composed from
+the measured stage baselines (unet 0.00969 MVx/s + detection 127.1 s per
+512² z-slice; the reference's watershed time is excluded, favoring it).
 """
 
 import json
@@ -17,6 +23,7 @@ import sys
 import time
 
 TORCH_CPU_BASELINE_MVX_S = 5.4 / 557.39  # scripts/measure_torch_baseline.py
+TORCH_CPU_DET_S_PER_PX = 127.12 / 512**2  # scripts/measure_detection_baseline.py
 
 
 def main():
@@ -87,5 +94,97 @@ def main():
     )
 
 
+def _blob_scene(X, Y, Z, n_cells, seed=0):
+    """Deterministic 4-channel volume of gaussian-blob cells."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    prob = np.zeros((X, Y, Z), np.float32)
+    r = 18
+    zz = (np.arange(Z) - Z // 2).astype(np.float32) ** 2 / 12.0
+    for _ in range(n_cells):
+        x0 = int(rng.uniform(r, X - r))
+        y0 = int(rng.uniform(r, Y - r))
+        xs, ys = slice(x0 - r, x0 + r), slice(y0 - r, y0 + r)
+        gx = (np.arange(x0 - r, x0 + r) - x0).astype(np.float32) ** 2
+        gy = (np.arange(y0 - r, y0 + r) - y0).astype(np.float32) ** 2
+        g = np.exp(
+            -(gx[:, None, None] + gy[None, :, None]) / 90.0 - zz[None, None, :]
+        )
+        prob[xs, ys] = np.maximum(prob[xs, ys], g)
+    vol = np.stack(
+        [prob * s for s in (0.9, 1.0, 0.95, 0.9)], axis=-1
+    ) + rng.normal(0, 0.01, (X, Y, Z, 4)).astype(np.float32)
+    return vol.clip(0, 1).astype(np.float32)
+
+
+def pipeline_main():
+    import shutil
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from hcunet_tpu.config import PipelineConfig, UNetConfig, auto_tile_config
+    from hcunet_tpu.infer.compile import compile_serving_apply
+    from hcunet_tpu.infer.pipeline import analyze
+    from hcunet_tpu.models.detection import Detector
+    from hcunet_tpu.models.unet import init_unet
+
+    shape = (1536, 1536, 12)
+    vol = _blob_scene(*shape, n_cells=160)
+
+    ucfg = UNetConfig.production_3d()
+    model, variables = init_unet(
+        ucfg, jax.random.PRNGKey(0), input_spatial=(140, 140, 10),
+        dtype=jnp.bfloat16,
+    )
+    unet_apply = jax.tree_util.Partial(
+        compile_serving_apply(model, variables, dtype=jnp.bfloat16)
+    )
+    det = Detector(dtype=jnp.bfloat16)
+    det_vars = det.init(jax.random.PRNGKey(1), (shape[0] // 2, shape[1] // 2))
+
+    pcfg = PipelineConfig(numchunks=3, unet=ucfg, tiles=auto_tile_config(ucfg))
+
+    def run():
+        work = tempfile.mkdtemp(prefix="hcunet_bench_")
+        try:
+            t0 = time.perf_counter()
+            res = analyze(
+                volume=vol, unet_apply=unet_apply, detector=det,
+                detector_variables=det_vars, cfg=pcfg, work_dir=work,
+                fit_cochlea=False,
+            )
+            return time.perf_counter() - t0, res.stage_seconds
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    run()  # compile + warm
+    dt, stages = run()
+    vox = shape[0] * shape[1] * shape[2]
+    mvx = vox / 1e6
+    # composed torch-CPU reference estimate for the same volume (unet tiling
+    # + per-z-plane detection; its watershed is excluded in its favor)
+    ref_s = mvx / TORCH_CPU_BASELINE_MVX_S + (
+        shape[0] * shape[1] * shape[2] * TORCH_CPU_DET_S_PER_PX
+    )
+    value = mvx / dt
+    print(
+        json.dumps(
+            {
+                "metric": "analyze_pipeline_end_to_end",
+                "value": round(value, 3),
+                "unit": "MVx/s",
+                "vs_baseline": round(value / (mvx / ref_s), 1),
+                "stage_seconds": {k: round(v, 2) for k, v in stages.items()},
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if "--pipeline" in sys.argv:
+        pipeline_main()
+    else:
+        main()

@@ -47,6 +47,7 @@ class AnalyzeResult:
     cochlea_curve: Optional[np.ndarray] = None
     percentage: Optional[np.ndarray] = None
     apex: Optional[np.ndarray] = None
+    stage_seconds: Optional[Dict[str, float]] = None  # per-stage wall time
 
 
 def _load_volume(path: str) -> np.ndarray:
@@ -104,6 +105,17 @@ def analyze(
 
     all_cells: List[HairCell] = []
     t_start = time.perf_counter()
+    stage_seconds = {"detect": 0.0, "unet": 0.0, "instance": 0.0, "analytics": 0.0}
+
+    def _staged(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.perf_counter()
+
+            def __exit__(self, *a):
+                stage_seconds[name] += time.perf_counter() - self.t0
+
+        return _T()
 
     for i in range(1, len(y_ind)):
         for j in range(1, len(x_ind)):
@@ -122,10 +134,11 @@ def analyze(
 
             # --- detection (hot loop #2) ---
             if detector is not None:
-                det_in = norm[..., list(cfg.detection_channels)]
-                candidates = predict_cell_candidates(
-                    det_in.astype(np.float32), detector, detector_variables
-                )
+                with _staged("detect"):
+                    det_in = norm[..., list(cfg.detection_channels)]
+                    candidates = predict_cell_candidates(
+                        det_in.astype(np.float32), detector, detector_variables
+                    )
                 log.info(
                     "%s: %d candidates", chunk_id, len(candidates["scores"])
                 )
@@ -136,20 +149,22 @@ def analyze(
 
             # --- semantic segmentation (hot loop #1) with the fused
             # blur/floor/rescale epilogue (main.py:130-132) on device ---
-            prob = predict_segmentation_mask(
-                unet_apply,
-                jnp.asarray(norm[None], jnp.float32),
-                cfg.unet,
-                cfg.tiles,
-                use_probability_map=True,
-                postprocess=(cfg.gaussian_sigma, cfg.prob_floor, cfg.prob_scale),
-            )
-            prob = np.asarray(prob)[0, ..., 0].astype(np.float32)  # [X, Y, Z]
+            with _staged("unet"):
+                prob = predict_segmentation_mask(
+                    unet_apply,
+                    jnp.asarray(norm[None], jnp.float32),
+                    cfg.unet,
+                    cfg.tiles,
+                    use_probability_map=True,
+                    postprocess=(cfg.gaussian_sigma, cfg.prob_floor, cfg.prob_scale),
+                )
+                prob = np.asarray(prob)[0, ..., 0].astype(np.float32)  # [X, Y, Z]
 
             # --- instance watershed (hot loop #3) ---
-            unique_mask, _seed = generate_unique_segmentation_mask(
-                prob, candidates, cfg.watershed
-            )
+            with _staged("instance"):
+                unique_mask, _seed = generate_unique_segmentation_mask(
+                    prob, candidates, cfg.watershed
+                )
 
             # --- cells + spill ---
             cells = generate_cell_objects(
@@ -164,27 +179,34 @@ def analyze(
             )
 
     log.info("reconstructing masks")
-    mask = reconstruct_mask(work_dir)
-    unique_mask = reconstruct_segmented(work_dir)
+    with _staged("analytics"):
+        mask = reconstruct_mask(work_dir)
+        unique_mask = reconstruct_segmented(work_dir)
 
-    if save_plots:
-        render_size(unique_mask, os.path.join(work_dir, "size_validation.tif"))
+        if save_plots:
+            render_size(unique_mask, os.path.join(work_dir, "size_validation.tif"))
 
-    curve = pct = apex = None
-    if fit_cochlea:
-        log.info("fitting cochlear spline")
-        projected = (mask > 0.5).sum(-1) if mask.dtype != np.uint8 else mask.sum(-1)
-        try:
-            curve, pct, apex = get_cochlear_length(
-                projected.astype(np.float64), equal_spaced_distance=2
-            )
-            for cell in all_cells:
-                cell.set_frequency(curve, pct)
-        except ValueError as e:
-            log.warning("cochlear fit failed: %s", e)
+        curve = pct = apex = None
+        if fit_cochlea:
+            log.info("fitting cochlear spline")
+            projected = (mask > 0.5).sum(-1) if mask.dtype != np.uint8 else mask.sum(-1)
+            try:
+                curve, pct, apex = get_cochlear_length(
+                    projected.astype(np.float64), equal_spaced_distance=2
+                )
+                for cell in all_cells:
+                    cell.set_frequency(curve, pct)
+            except ValueError as e:
+                log.warning("cochlear fit failed: %s", e)
 
-    cells_to_csv(all_cells, os.path.join(work_dir, "cells.csv"))
-    return AnalyzeResult(mask, unique_mask, all_cells, curve, pct, apex)
+        cells_to_csv(all_cells, os.path.join(work_dir, "cells.csv"))
+    log.info(
+        "stage seconds: %s",
+        {k: round(v, 2) for k, v in stage_seconds.items()},
+    )
+    return AnalyzeResult(
+        mask, unique_mask, all_cells, curve, pct, apex, stage_seconds
+    )
 
 
 def _volume_fingerprint(volume: np.ndarray, numchunks: int) -> str:

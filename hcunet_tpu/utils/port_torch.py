@@ -102,6 +102,60 @@ def unet_variables_from_torch_state_dict(
     return {"params": params, "batch_stats": stats}
 
 
+def unet_state_dict_from_variables(variables: Mapping, config: UNetConfig):
+    """Inverse of :func:`unet_variables_from_torch_state_dict`: emit a torch
+    state_dict for the reference ``Unet_Constructor`` from flax variables —
+    lets weights trained in this framework run under the reference for
+    parity/dice comparisons (reference checkpoints are stripped, SURVEY §0).
+    """
+    import torch
+
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    n = len(config.feature_sizes)
+    nd = config.image_dimensions
+    sd = {}
+
+    def _t(a):
+        return torch.as_tensor(np.asarray(a, np.float32).copy())
+
+    def put_convbn(prefix_conv, prefix_bn, p, s):
+        w = np.asarray(p["kernel"])  # [*k, Cin/g, Cout]
+        sd[f"{prefix_conv}.weight"] = _t(
+            np.transpose(w, (nd + 1, nd) + tuple(range(nd)))
+        )
+        sd[f"{prefix_conv}.bias"] = _t(p["bias"])
+        sd[f"{prefix_bn}.weight"] = _t(p["BatchNorm_0"]["scale"])
+        sd[f"{prefix_bn}.bias"] = _t(p["BatchNorm_0"]["bias"])
+        sd[f"{prefix_bn}.running_mean"] = _t(s["BatchNorm_0"]["mean"])
+        sd[f"{prefix_bn}.running_var"] = _t(s["BatchNorm_0"]["var"])
+        sd[f"{prefix_bn}.num_batches_tracked"] = torch.tensor(0)
+
+    for i in range(n):
+        for j, (conv, bn) in enumerate([("conv1", "batch1"), ("conv2", "batch2")]):
+            put_convbn(
+                f"down_steps.{i}.{conv}", f"down_steps.{i}.{bn}",
+                params[f"down{i}"][f"ConvBNRelu_{j}"],
+                stats[f"down{i}"][f"ConvBNRelu_{j}"],
+            )
+    for i in range(n - 1):
+        w_up = np.asarray(params[f"up{i}"]["up_kernel"])  # [*k, Cin, Cout]
+        sd[f"up_steps.{i}.up_conv.weight"] = _t(
+            np.transpose(w_up, (nd, nd + 1) + tuple(range(nd)))
+        )
+        sd[f"up_steps.{i}.up_conv.bias"] = _t(params[f"up{i}"]["up_bias"])
+        for j, (conv, bn) in enumerate([("conv1", "batch1"), ("conv2", "batch2")]):
+            put_convbn(
+                f"up_steps.{i}.{conv}", f"up_steps.{i}.{bn}",
+                params[f"up{i}"][f"ConvBNRelu_{j}"],
+                stats[f"up{i}"][f"ConvBNRelu_{j}"],
+            )
+    w_out = np.asarray(params["out_kernel"])
+    sd["out_conv.weight"] = _t(np.transpose(w_out, (nd + 1, nd) + tuple(range(nd))))
+    sd["out_conv.bias"] = _t(params["out_bias"])
+    return sd
+
+
 def _same_convbn(sd: Mapping, conv: str, bn: str) -> tuple[Dict, Dict]:
     """SameConvBNRelu params/stats from a torch conv+bn pair."""
     return _convbnrelu(sd, conv, bn)

@@ -57,6 +57,7 @@ SLOW_TESTS = {
     "test_runet_parity",
     "test_segmenter_bf16",
     "test_training_state_resume",
+    "test_pipeline_dice_vs_torch_reference_composition",
 }
 
 

@@ -57,3 +57,69 @@ def test_study_aggregate_and_regression():
     reg = agg.gfp_vs_gain_regression()
     assert reg is not None and reg["n"] == 3
     assert 0.08 < reg["slope"] < 0.11 and reg["r2"] > 0.95
+
+
+def test_load_legacy_cells_module_rename(tmp_path):
+    """Reference-era all_cells.pkl load with the module-rename shim
+    (``/root/reference/validate.py:16-31``): classes pickled under the
+    historical ``haircell`` module resolve without it existing."""
+    import pickle
+    import sys
+    import types
+
+    import torch
+
+    from hcunet_tpu.analysis.validate import load_legacy_cells
+
+    legacy = types.ModuleType("haircell")
+
+    class HairCell:  # stand-in for the reference class being pickled
+        pass
+
+    HairCell.__module__ = "haircell"
+    HairCell.__qualname__ = "HairCell"
+    legacy.HairCell = HairCell
+    sys.modules["haircell"] = legacy
+    try:
+        c = HairCell()
+        c.unique_id = 7
+        c.volume = 1.5e-16
+        c.is_bad = False
+        c.distance_from_apex = []
+        c.signal_stats = {
+            "gfp": {"mean": torch.tensor(0.5), "std": torch.tensor(0.1),
+                    "median": 0.4}
+        }
+        c.gfp_stats = {"mean": torch.tensor(0.5)}
+        p = tmp_path / "all_cells.pkl"
+        with open(p, "wb") as f:
+            pickle.dump([c], f)
+    finally:
+        del sys.modules["haircell"]
+
+    cells = load_legacy_cells(str(p))
+    assert len(cells) == 1
+    got = cells[0]
+    assert got.unique_id == 7
+    assert isinstance(got.signal_stats["gfp"]["mean"], float)
+    assert got.signal_stats["gfp"]["mean"] == 0.5
+
+    agg = StudyAggregate()
+    agg.add_image("/study/Feb 6 CMV m1 G10 L1", cells)
+    assert len(agg.rows) == 1
+
+
+def test_study_figures_saved(tmp_path):
+    from hcunet_tpu.analysis.haircell import HairCell
+
+    agg = StudyAggregate()
+    for gain, gfp in [(10, 1.0), (20, 2.1), (30, 2.9)]:
+        cell = HairCell([0, 0, 0, 1, 1, 1], [0, 0, 0], unique_id=1)
+        cell.signal_stats = {"gfp": {"mean": gfp, "std": 0.1, "median": gfp}}
+        cell.gfp_stats = cell.signal_stats["gfp"]
+        agg.add_image(f"/study/Feb 6 CMV m1 G{gain} L1", [cell])
+    import os
+
+    paths = agg.save_figures(str(tmp_path))
+    assert len(paths) == 2
+    assert all(os.path.exists(p) and os.path.getsize(p) > 0 for p in paths)
