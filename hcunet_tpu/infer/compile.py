@@ -378,28 +378,32 @@ def compile_serving_apply(
     for i in range(n_levels - 1):
         level = n_levels - 2 - i  # level this Up block lands on
         zb = zb_plan[level]
+        zb_in = zb_plan[level + 1]  # the T-conv runs at the incoming zb
         p = params[f"up{i}"]
         s = stats[f"up{i}"]
         w_up = np.asarray(p["up_kernel"], np.float32)  # [kx, ky, kz, Cin, Cout]
         b_up = np.asarray(p["up_bias"], np.float32)
         if use_subpixel:
             up_entry = dict(
-                subs=pack_tconv_subpixel_weights(w_up, zb, up_kz),
+                subs={
+                    z: pack_tconv_subpixel_weights(w_up, z, up_kz)
+                    for z in {zb, zb_in}
+                },
                 cout=w_up.shape[-1],
-                bias=_tile_bias(b_up, zb),
+                bias={z: _tile_bias(b_up, z) for z in {zb, zb_in}},
                 k_xy=(cfg.upsample_kernel[0], cfg.upsample_kernel[1]),
             )
         else:
             # torch ConvTranspose == conv with flipped kernel, (k-1) zero
             # padding, lhs_dilation=stride.  z: stride 1, pad (kz-1)=1 ->
             # z_shift = -(kz-1)
-            w_upf = w_up[::-1, ::-1, ::-1]
-            wp, kzb, nbl = pack_conv_weights(
-                np.ascontiguousarray(w_upf), zb, z_shift=-(up_kz - 1)
-            )
+            w_upf = np.ascontiguousarray(w_up[::-1, ::-1, ::-1])
+            packed = {}
+            for z in {zb, zb_in}:
+                wp, kzb, nbl = pack_conv_weights(w_upf, z, z_shift=-(up_kz - 1))
+                packed[z] = dict(wp=wp, kzb=kzb, nbl=nbl, bias=_tile_bias(b_up, z))
             up_entry = dict(
-                wp=wp, kzb=kzb, nbl=nbl, cout=w_up.shape[-1],
-                bias=_tile_bias(b_up, zb),
+                packed=packed, cout=w_up.shape[-1],
                 pad_xy=(cfg.upsample_kernel[0] - 1, cfg.upsample_kernel[1] - 1),
                 lhs_dilation=(cfg.upsample_stride[0], cfg.upsample_stride[1]),
                 z_grow=up_kz - 1,
@@ -437,27 +441,34 @@ def compile_serving_apply(
                 x = pool_packed(x)
         for i, (up_entry, block) in enumerate(ups):
             level = n_levels - 2 - i
-            if x.zb != zb_plan[level]:
-                x = _Packed(
-                    repack(x.data, x.zb, zb_plan[level], x.z_len, x.c),
-                    zb_plan[level], x.c, x.z_len,
-                )
+            # the T-conv runs at the INCOMING (deeper level's) zb: its FLOP
+            # inflation is x zb on top of the x4 lhs_dilation waste, so the
+            # smaller block wins; repack to the level's plan afterwards
+            # (measured on v5e: 238 -> 199 ms on the batch-6 tile)
             if x.nb * x.zb != x.z_len:
                 # the z-growing T-conv reads one slot past z_len, which must
                 # be zero (torch's z padding), not leftover garbage
                 x = zero_garbage_slots(x)
             if use_subpixel:
                 x = tconv_packed_subpixel(
-                    x, up_entry["subs"], up_kz=up_kz, cout=up_entry["cout"],
-                    bias=up_entry["bias"], k_xy=up_entry["k_xy"], dtype=dtype,
+                    x, up_entry["subs"][x.zb], up_kz=up_kz,
+                    cout=up_entry["cout"],
+                    bias=up_entry["bias"][x.zb], k_xy=up_entry["k_xy"],
+                    dtype=dtype,
                 )
             else:
+                e = up_entry["packed"][x.zb]
                 x = conv_packed(
-                    x, up_entry["wp"], up_entry["kzb"], up_entry["nbl"],
-                    kz=up_kz, cout=up_entry["cout"], bias=up_entry["bias"],
+                    x, e["wp"], e["kzb"], e["nbl"],
+                    kz=up_kz, cout=up_entry["cout"], bias=e["bias"],
                     lhs_dilation=up_entry["lhs_dilation"],
                     pad_xy=up_entry["pad_xy"], z_grow=up_entry["z_grow"],
                     dtype=dtype,
+                )
+            if x.zb != zb_plan[level]:
+                x = _Packed(
+                    repack(x.data, x.zb, zb_plan[level], x.z_len, x.c),
+                    zb_plan[level], x.c, x.z_len,
                 )
             skip = skips.pop()
             if cfg.reference_skip_bug:
