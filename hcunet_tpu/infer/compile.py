@@ -441,10 +441,16 @@ def compile_serving_apply(
                 x = pool_packed(x)
         for i, (up_entry, block) in enumerate(ups):
             level = n_levels - 2 - i
-            # the T-conv runs at the INCOMING (deeper level's) zb: its FLOP
-            # inflation is x zb on top of the x4 lhs_dilation waste, so the
-            # smaller block wins; repack to the level's plan afterwards
-            # (measured on v5e: 238 -> 199 ms on the batch-6 tile)
+            # repack (cheap, pre-upsample resolution) then T-conv at the
+            # level's zb.  Running the T-conv at the incoming (smaller) zb
+            # and repacking at full resolution was measured WORSE on v5e
+            # (243.9 vs 239.2 ms): the full-res repack traffic outweighs the
+            # T-conv FLOP savings.
+            if x.zb != zb_plan[level]:
+                x = _Packed(
+                    repack(x.data, x.zb, zb_plan[level], x.z_len, x.c),
+                    zb_plan[level], x.c, x.z_len,
+                )
             if x.nb * x.zb != x.z_len:
                 # the z-growing T-conv reads one slot past z_len, which must
                 # be zero (torch's z padding), not leftover garbage
@@ -464,11 +470,6 @@ def compile_serving_apply(
                     lhs_dilation=up_entry["lhs_dilation"],
                     pad_xy=up_entry["pad_xy"], z_grow=up_entry["z_grow"],
                     dtype=dtype,
-                )
-            if x.zb != zb_plan[level]:
-                x = _Packed(
-                    repack(x.data, x.zb, zb_plan[level], x.z_len, x.c),
-                    zb_plan[level], x.c, x.z_len,
                 )
             skip = skips.pop()
             if cfg.reference_skip_bug:

@@ -26,7 +26,11 @@ from hcunet_tpu.core.shapes import calculate_indexes
 from hcunet_tpu.infer.candidates import empty_candidates, merge_cell_candidates
 
 DET_PAD = (24, 24)
-DET_EVAL = (500, 500)
+# v5e sweep (scripts/probe_detect_tiles.py, 2026-08-17): detect() is
+# overhead-bound, so throughput scales with tile area — 4.0 MPx/s at 352²,
+# 8.1 at 512² (the reference's CPU-table geometry), 28.9 at 1024², 41.6 at
+# 1280² (but 240 s compile).  1000+2·24 = 1048² is the sweet spot.
+DET_EVAL = (1000, 1000)
 
 
 def predict_cell_candidates(
