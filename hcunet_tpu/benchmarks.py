@@ -95,7 +95,7 @@ def main():
 
 
 def _blob_scene(X, Y, Z, n_cells, seed=0):
-    """Deterministic 4-channel volume of gaussian-blob cells."""
+    """Deterministic 4-channel volume of gaussian-blob cells (+ truth map)."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
@@ -115,7 +115,48 @@ def _blob_scene(X, Y, Z, n_cells, seed=0):
     vol = np.stack(
         [prob * s for s in (0.9, 1.0, 0.95, 0.9)], axis=-1
     ) + rng.normal(0, 0.01, (X, Y, Z, 4)).astype(np.float32)
-    return vol.clip(0, 1).astype(np.float32)
+    return vol.clip(0, 1).astype(np.float32), prob
+
+
+def _fit_unet_to_scene(model, variables, vol, truth, steps=40):
+    """A few train steps so the probability landscape is production-like.
+
+    A random-weight net emits near-flat noise — the watershed's worst case
+    (10x its realistic cost) — which would make the pipeline number
+    meaningless.  Real deployments run trained checkpoints."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from hcunet_tpu.train.losses import cross_entropy
+
+    x = jnp.asarray(((vol[:256, :256] - 0.5) / 0.5)[None], jnp.float32)
+    y = jnp.asarray((truth[:256, :256] > 0.3)[None, ..., None].astype(np.float32))
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    tx = optax.adam(3e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state):
+        def loss_fn(p):
+            out, upd = model.apply(
+                {"params": p, "batch_stats": batch_stats}, x, train=True,
+                mutable=["batch_stats"],
+            )
+            return cross_entropy(out, y, method="pixel"), upd["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params
+        )
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), new_stats, opt_state, loss
+
+    for _ in range(steps):
+        params, batch_stats, opt_state, _loss = step(
+            params, batch_stats, opt_state
+        )
+    return {"params": params, "batch_stats": batch_stats}
 
 
 def pipeline_main():
@@ -132,13 +173,14 @@ def pipeline_main():
     from hcunet_tpu.models.unet import init_unet
 
     shape = (1536, 1536, 12)
-    vol = _blob_scene(*shape, n_cells=160)
+    vol, truth = _blob_scene(*shape, n_cells=160)
 
     ucfg = UNetConfig.production_3d()
     model, variables = init_unet(
         ucfg, jax.random.PRNGKey(0), input_spatial=(140, 140, 10),
         dtype=jnp.bfloat16,
     )
+    variables = _fit_unet_to_scene(model, variables, vol, truth)
     unet_apply = jax.tree_util.Partial(
         compile_serving_apply(model, variables, dtype=jnp.bfloat16)
     )
