@@ -8,7 +8,10 @@ The reference has no CLI at all — scripts hard-code absolute paths
     train-unet   train the valid-conv U-Net on Stack triplets
     train-rcnn   train the detection head on Section xml/tif pairs
     preprocess   build PWL/COM/vector training targets from label masks
-    bench        run the headline benchmark
+    validate     dice / pixel-error validation on a Stack dataset
+    study        aggregate per-cell stats across analyzed images (+figures)
+    pretrain-backbone  synthetic backbone pretraining (no-egress ImageNet sub)
+    bench        run the headline benchmark (--pipeline: full analyze())
 """
 
 from __future__ import annotations
@@ -77,6 +80,35 @@ def _add_validate(sub):
     p.add_argument("--threshold", type=float, default=0.5)
 
 
+def _add_study(sub):
+    p = sub.add_parser(
+        "study",
+        help="aggregate per-cell stats across analyzed images, with the "
+        "study boxplot/regression figures (validate.py:386-415)",
+    )
+    p.add_argument(
+        "dirs", nargs="+",
+        help="analyzed work dirs (chunk .cells.npz journals) or legacy "
+        "all_cells.pkl files; experiment metadata is parsed from the "
+        "directory names",
+    )
+    p.add_argument("--out", default="study_out")
+    p.add_argument("--group-by", default="promoter")
+
+
+def _add_pretrain(sub):
+    p = sub.add_parser(
+        "pretrain-backbone",
+        help="pretrain the detector's ResNet trunk on a synthetic shape "
+        "task (this environment's substitute for ImageNet weights)",
+    )
+    p.add_argument("--out", default="backbone.msgpack")
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--width", type=int, default=64)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="hcunet", description=__doc__)
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -86,19 +118,27 @@ def main(argv=None):
     _add_train_rcnn(sub)
     _add_preprocess(sub)
     _add_validate(sub)
-    sub.add_parser("bench", help="run the headline benchmark")
+    _add_study(sub)
+    _add_pretrain(sub)
+    p = sub.add_parser("bench", help="run the headline benchmark")
+    p.add_argument("--pipeline", action="store_true",
+                   help="benchmark the full analyze() pipeline instead")
     args = parser.parse_args(argv)
 
     if args.cmd == "bench":
         from hcunet_tpu import benchmarks as bench
 
-        bench.main()
+        (bench.pipeline_main if args.pipeline else bench.main)()
         return 0
 
     if args.cmd == "preprocess":
         return _cmd_preprocess(args)
     if args.cmd == "validate":
         return _cmd_validate(args)
+    if args.cmd == "study":
+        return _cmd_study(args)
+    if args.cmd == "pretrain-backbone":
+        return _cmd_pretrain(args)
     if args.cmd == "train-unet":
         return _cmd_train_unet(args)
     if args.cmd == "train-rcnn":
@@ -114,8 +154,16 @@ def _load_models(unet_path, detector_path):
     from hcunet_tpu.utils.checkpoint import load_checkpoint, load_unet
 
     model, variables, _ = load_unet(unet_path)
+    # production serving path: BN-folded z-block-packed forward
+    # (infer/compile.py falls back to plain apply for 2D/dilated configs)
+    from hcunet_tpu.infer.compile import compile_serving_apply
+
+    import jax.numpy as jnp
+
     unet_apply = jax.tree_util.Partial(
-        lambda v, t: model.apply(v, t, train=False), variables
+        compile_serving_apply(
+            model, variables, dtype=getattr(model, "dtype", None) or jnp.float32
+        )
     )
     detector = detector_vars = None
     if detector_path:
@@ -259,6 +307,57 @@ def _cmd_validate(args):
         for r in results
     ]
     print(json.dumps(summary, indent=2))
+    return 0
+
+
+def _cmd_study(args):
+    import glob as g
+
+    from hcunet_tpu.analysis.validate import StudyAggregate, load_legacy_cells
+    from hcunet_tpu.infer.pipeline import _load_cells
+
+    agg = StudyAggregate()
+    n_images = 0
+    for path in args.dirs:
+        if os.path.isfile(path) and path.endswith(".pkl"):
+            agg.add_image(os.path.dirname(path) or path, load_legacy_cells(path))
+            n_images += 1
+            continue
+        cells = []
+        for npz in sorted(g.glob(os.path.join(path, "*.cells.npz"))):
+            cells.extend(_load_cells(npz))
+        if cells:
+            agg.add_image(path, cells)
+            n_images += 1
+    if not agg.rows:
+        print("no cells found", file=sys.stderr)
+        return 1
+    os.makedirs(args.out, exist_ok=True)
+    agg.dataframe().to_csv(os.path.join(args.out, "study.csv"), index=False)
+    figures = agg.save_figures(args.out, group_by=args.group_by)
+    reg = agg.gfp_vs_gain_regression()
+    print(
+        json.dumps(
+            {
+                "images": n_images,
+                "cells": len(agg.rows),
+                "csv": os.path.join(args.out, "study.csv"),
+                "figures": figures,
+                "gfp_vs_gain": reg,
+            }
+        )
+    )
+    return 0
+
+
+def _cmd_pretrain(args):
+    from hcunet_tpu.train.pretrain import pretrain_backbone, save_backbone
+
+    backbone = pretrain_backbone(
+        steps=args.steps, batch=args.batch, lr=args.lr, width=args.width
+    )
+    save_backbone(args.out, backbone)
+    print(json.dumps({"backbone": args.out}))
     return 0
 
 

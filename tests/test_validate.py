@@ -123,3 +123,43 @@ def test_study_figures_saved(tmp_path):
     paths = agg.save_figures(str(tmp_path))
     assert len(paths) == 2
     assert all(os.path.exists(p) and os.path.getsize(p) > 0 for p in paths)
+
+
+def test_cli_study_command(tmp_path, capsys):
+    """hcunet study over an analyzed work dir's .cells.npz journals."""
+    import json
+
+    from hcunet_tpu.analysis.haircell import HairCell
+    from hcunet_tpu.cli import main
+    from hcunet_tpu.infer.pipeline import _save_cells
+
+    for gain in (10, 30):
+        d = tmp_path / f"Feb 6 CMV m1 G{gain} L1_cellBycell"
+        d.mkdir()
+        cells = []
+        for i in range(3):
+            c = HairCell([0, 0, 0, 1, 1, 1], [0, 0, 0], unique_id=i + 1)
+            c.signal_stats = {
+                "gfp": {"mean": 0.1 * gain + 0.01 * i, "std": 0.1,
+                        "median": 0.1 * gain}
+            }
+            c.gfp_stats = c.signal_stats["gfp"]
+            cells.append(c)
+        _save_cells(str(d / "chunk_1_1.cells.npz"), cells)
+
+    out = tmp_path / "study"
+    rc = main([
+        "study",
+        str(tmp_path / "Feb 6 CMV m1 G10 L1_cellBycell"),
+        str(tmp_path / "Feb 6 CMV m1 G30 L1_cellBycell"),
+        "--out", str(out),
+    ])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["images"] == 2 and info["cells"] == 6
+    assert info["gfp_vs_gain"]["n"] == 6
+    assert (out / "study.csv").exists()
+    for p in info["figures"]:
+        import os
+
+        assert os.path.exists(p)
