@@ -30,6 +30,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from hcunet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from hcunet_tpu.config import TileConfig, UNetConfig
     from hcunet_tpu.infer.tiling import predict_segmentation_mask
     from hcunet_tpu.models.unet import init_unet
@@ -165,6 +169,10 @@ def pipeline_main():
 
     import jax
     import jax.numpy as jnp
+
+    from hcunet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from hcunet_tpu.config import PipelineConfig, UNetConfig, auto_tile_config
     from hcunet_tpu.infer.compile import compile_serving_apply

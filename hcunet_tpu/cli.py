@@ -110,6 +110,9 @@ def _add_pretrain(sub):
 
 
 def main(argv=None):
+    from hcunet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(prog="hcunet", description=__doc__)
     sub = parser.add_subparsers(dest="cmd", required=True)
     _add_analyze(sub)

@@ -38,6 +38,9 @@ class Segmenter:
     ):
         import jax
 
+        from hcunet_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
         if dtype is not None and getattr(model, "dtype", None) != dtype:
             model = type(model)(model.config, dtype=dtype)
         self.model = model

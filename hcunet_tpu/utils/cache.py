@@ -1,0 +1,45 @@
+"""Persistent XLA compilation cache.
+
+The remote-attached TPU toolchain compiles slowly (30 s for the packed
+serving forward, 84 s for the detector, 200 s+ for large tiles), and the
+reference-style workflow is many short processes over one model
+(``loop_main.py``).  JAX's persistent compilation cache spans processes:
+measured on v5e, a fresh process's serving compile drops 78.8 s → 28.2 s
+with a warm cache.
+
+Enabled automatically by the CLI, ``Segmenter`` and the benchmarks; set
+``HCUNET_NO_CACHE=1`` to disable, ``HCUNET_CACHE_DIR`` to relocate.
+"""
+
+from __future__ import annotations
+
+import os
+
+_enabled = False
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
+    """Point jax at a persistent compilation cache directory (idempotent).
+
+    Returns the cache dir, or None when disabled via ``HCUNET_NO_CACHE``.
+    """
+    global _enabled
+    if os.environ.get("HCUNET_NO_CACHE"):
+        return None
+    cache_dir = (
+        cache_dir
+        or os.environ.get("HCUNET_CACHE_DIR")
+        or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+            ".cache", "jax",
+        )
+    )
+    if _enabled:
+        return cache_dir
+    import jax
+
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _enabled = True
+    return cache_dir
