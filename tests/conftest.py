@@ -58,6 +58,7 @@ SLOW_TESTS = {
     "test_segmenter_bf16",
     "test_training_state_resume",
     "test_pipeline_dice_vs_torch_reference_composition",
+    "test_analyze_overlap_equals_sequential",
 }
 
 

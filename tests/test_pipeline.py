@@ -254,3 +254,24 @@ def test_work_dir_fingerprint_guard(tmp_path, tiny_models, rng):
         analyze(volume=vol_b, unet_apply=unet_apply, detector=None,
                 detector_variables=None, cfg=_pipeline_cfg(unet_cfg),
                 work_dir=work, fit_cochlea=False)
+
+
+def test_analyze_overlap_equals_sequential(tmp_path, tiny_models, rng):
+    """The threaded instance-stage overlap must be a pure latency
+    optimization: identical masks/cells to the sequential path."""
+    unet_cfg, unet_apply, det, det_vars = tiny_models
+    volume = rng.random((64, 64, 6, 4)).astype(np.float32)
+    a = analyze(
+        volume=volume, unet_apply=unet_apply, detector=det,
+        detector_variables=det_vars, cfg=_pipeline_cfg(unet_cfg),
+        work_dir=str(tmp_path / "seq"), fit_cochlea=False, overlap=False,
+    )
+    b = analyze(
+        volume=volume, unet_apply=unet_apply, detector=det,
+        detector_variables=det_vars, cfg=_pipeline_cfg(unet_cfg),
+        work_dir=str(tmp_path / "ovl"), fit_cochlea=False, overlap=True,
+    )
+    np.testing.assert_array_equal(a.unique_mask, b.unique_mask)
+    np.testing.assert_allclose(a.mask, b.mask, atol=1e-6)
+    assert len(a.cells) == len(b.cells)
+    assert [c.unique_id for c in a.cells] == [c.unique_id for c in b.cells]
