@@ -59,6 +59,7 @@ SLOW_TESTS = {
     "test_training_state_resume",
     "test_pipeline_dice_vs_torch_reference_composition",
     "test_analyze_overlap_equals_sequential",
+    "test_cli_analyze_end_to_end",
 }
 
 

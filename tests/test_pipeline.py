@@ -275,3 +275,42 @@ def test_analyze_overlap_equals_sequential(tmp_path, tiny_models, rng):
     np.testing.assert_allclose(a.mask, b.mask, atol=1e-6)
     assert len(a.cells) == len(b.cells)
     assert [c.unique_id for c in a.cells] == [c.unique_id for c in b.cells]
+
+
+def test_cli_analyze_end_to_end(tmp_path, capsys):
+    """hcunet analyze from a checkpoint file to cells.csv — exercises the
+    CLI model loading (packed serving), tiff IO, and the pipeline."""
+    import json
+
+    import jax
+
+    from hcunet_tpu.cli import main
+    from hcunet_tpu.config import UNetConfig
+    from hcunet_tpu.data.tiff import imwrite
+    from hcunet_tpu.models.unet import init_unet
+    from hcunet_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = UNetConfig(
+        feature_sizes=(8, 16), kernel1=(3, 3, 2), kernel2=(3, 3, 1),
+        upsample_kernel=(4, 4, 2), max_pool_kernel=(2, 2, 1),
+        upsample_stride=(2, 2, 1), groups=1,
+    )
+    model, variables = init_unet(cfg, jax.random.PRNGKey(0), (48, 48, 8))
+    ckpt = str(tmp_path / "unet.hcunet")
+    save_checkpoint(ckpt, dict(variables), cfg, snapshot_sources=False)
+
+    vol = (np.random.default_rng(0).random((6, 64, 64, 4)) * 255).astype(
+        np.uint8
+    )  # [Z, Y, X, C] skimage-style on disk
+    img = str(tmp_path / "stack.tif")
+    imwrite(img, vol)
+
+    out = str(tmp_path / "out")
+    rc = main([
+        "analyze", img, "--unet", ckpt, "--out", out,
+        "--numchunks", "2", "--no-cochlea",
+    ])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["out"] == out
+    assert os.path.exists(os.path.join(out, "cells.csv"))
