@@ -46,6 +46,8 @@ __all__ = [
     "predict_cell_candidates",
     "generate_unique_segmentation_mask",
     "generate_cell_objects",
+    "Segmenter",
+    "compile_serving_apply",
 ]
 
 _LAZY = {
@@ -59,6 +61,8 @@ _LAZY = {
         "generate_unique_segmentation_mask",
     ),
     "generate_cell_objects": ("hcunet_tpu.analysis.haircell", "generate_cell_objects"),
+    "Segmenter": ("hcunet_tpu.infer.serving", "Segmenter"),
+    "compile_serving_apply": ("hcunet_tpu.infer.compile", "compile_serving_apply"),
 }
 
 
