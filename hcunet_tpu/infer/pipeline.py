@@ -152,7 +152,7 @@ def analyze(
     from concurrent.futures import ThreadPoolExecutor
 
     executor = ThreadPoolExecutor(max_workers=1) if overlap else None
-    pending = []  # (order, cells-or-future)
+    pending = []  # per-chunk: a cells list (cached/sequential) or a Future
     try:
         for i in range(1, len(y_ind)):
             for j in range(1, len(x_ind)):
