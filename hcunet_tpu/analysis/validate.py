@@ -110,6 +110,11 @@ def load_legacy_cells(path: str) -> List:
     objects expose the attribute surface ``StudyAggregate.add_image`` needs
     (``unique_id``, ``volume``, ``is_bad``, ``signal_stats``,
     ``distance_from_apex``).
+
+    Security: ``find_class`` is restricted to an allowlist (the HairCell
+    shim, numpy/torch tensor reconstructors, and a few builtins) — anything
+    else raises ``pickle.UnpicklingError``.  Legacy pickles should still be
+    treated as trusted inputs; the allowlist narrows, not removes, the risk.
     """
     import io
     import pickle
@@ -117,13 +122,47 @@ def load_legacy_cells(path: str) -> List:
     class _LegacyHairCell:
         distance_from_apex: list = []
 
+    # Reconstructors legacy HairCell pickles actually need: numpy arrays
+    # (cell centers/coords), torch tensors inside signal_stats, and basic
+    # container builtins.  Nothing here can be leveraged for code execution
+    # (no os/subprocess/builtins.eval/functools.partial/...).
+    _ALLOWED = {
+        ("builtins", "list"), ("builtins", "dict"), ("builtins", "set"),
+        ("builtins", "tuple"), ("builtins", "frozenset"),
+        ("builtins", "bytearray"), ("builtins", "complex"),
+        ("collections", "OrderedDict"),
+        ("numpy", "ndarray"), ("numpy", "dtype"),
+        ("numpy.core.multiarray", "_reconstruct"),
+        ("numpy.core.multiarray", "scalar"),
+        ("numpy._core.multiarray", "_reconstruct"),
+        ("numpy._core.multiarray", "scalar"),
+        ("torch._utils", "_rebuild_tensor_v2"),
+        ("torch._utils", "_rebuild_tensor"),
+        ("torch.serialization", "_get_layout"),
+        ("torch.storage", "_load_from_bytes"),
+    }
+    _NUMPY_SCALARS = {
+        "bool_", "int8", "int16", "int32", "int64", "uint8", "uint16",
+        "uint32", "uint64", "float16", "float32", "float64", "longdouble",
+        "complex64", "complex128", "intp", "uintp",
+    }
+
     class _Unpickler(pickle.Unpickler):
         def find_class(self, module, name):
             if name == "HairCell" and module in (
                 "haircell", "hcat.haircell", "hcunet_tpu.analysis.haircell",
             ):
                 return _LegacyHairCell
-            return super().find_class(module, name)
+            if (module, name) in _ALLOWED:
+                return super().find_class(module, name)
+            if module == "numpy" and name in _NUMPY_SCALARS:
+                return super().find_class(module, name)
+            if module == "torch" and name.endswith("Storage"):
+                return super().find_class(module, name)
+            raise pickle.UnpicklingError(
+                f"load_legacy_cells: refusing to unpickle {module}.{name} "
+                "(not in the legacy HairCell allowlist)"
+            )
 
     def _scalar(v):
         try:

@@ -57,25 +57,27 @@ def _instance_tile_geometry(spatial, host_ram_bytes: Optional[int] = None):
     return pad, ev
 
 
-def _device_instance_tile(
-    distance: np.ndarray, binary: np.ndarray, seed_tile: np.ndarray,
-    cfg: WatershedConfig,
-) -> np.ndarray:
-    """One instance tile on the TPU (``backend='device'``): z-replication,
-    iterated cross dilation, background seed, and the bounded-iteration
-    minimax-path watershed (:func:`hcunet_tpu.ops.watershed_jax.watershed_jax`)
-    — all inside one jit.  Approximate where plateau tie-breaks matter."""
+def _make_device_instance_fn(
+    expand_z: int, expand_mask: int, distance_floor: float,
+    seed_background_below: float, device_iters: int, compactness: float,
+):
+    """Build (and jit) the device instance-tile program for one config.
+
+    Memoized so the TPU backend compiles once per ``(cfg, tile shape)``
+    instead of once per *call* — the per-tile recompile was ~131 s
+    (BASELINE.md).  Keyed on the scalar config values; jit itself caches per
+    input shape."""
     import jax
     import jax.numpy as jnp
 
     from hcunet_tpu.ops.watershed_jax import _shift, watershed_jax
 
-    E = int(cfg.expand_z)
+    E = int(expand_z)
 
     @jax.jit
     def run(dist, binm, seeds):
         dist_e = jnp.repeat(dist, E, axis=2)
-        dist_e = jnp.where(dist_e < cfg.distance_floor, 0.0, dist_e)
+        dist_e = jnp.where(dist_e < distance_floor, 0.0, dist_e)
         mask_e = jnp.repeat(binm, E, axis=2)
 
         def dilate(_, m):
@@ -85,19 +87,43 @@ def _device_instance_tile(
                     out = out | _shift(m, ax, d, False)
             return out
 
-        mask_e = jax.lax.fori_loop(0, int(cfg.expand_mask), dilate, mask_e)
+        mask_e = jax.lax.fori_loop(0, int(expand_mask), dilate, mask_e)
         seed_e = jnp.repeat(seeds, E, axis=2)
-        seed_e = jnp.where(dist_e < cfg.seed_background_below, 1, seed_e)
+        seed_e = jnp.where(dist_e < seed_background_below, 1, seed_e)
         labels = watershed_jax(
             -dist_e,
             seed_e,
             mask=mask_e,
-            iters=int(cfg.device_iters),
-            compactness=cfg.compactness,
+            iters=int(device_iters),
+            compactness=compactness,
             watershed_line=True,
         )
         return labels[:, :, ::E]
 
+    return run
+
+
+_DEVICE_INSTANCE_FNS: Dict[tuple, object] = {}
+
+
+def _device_instance_tile(
+    distance: np.ndarray, binary: np.ndarray, seed_tile: np.ndarray,
+    cfg: WatershedConfig,
+) -> np.ndarray:
+    """One instance tile on the TPU (``backend='device'``): z-replication,
+    iterated cross dilation, background seed, and the bounded-iteration
+    minimax-path watershed (:func:`hcunet_tpu.ops.watershed_jax.watershed_jax`)
+    — all inside one jit.  Approximate where plateau tie-breaks matter."""
+    import jax.numpy as jnp
+
+    key = (
+        int(cfg.expand_z), int(cfg.expand_mask), float(cfg.distance_floor),
+        float(cfg.seed_background_below), int(cfg.device_iters),
+        float(cfg.compactness),
+    )
+    run = _DEVICE_INSTANCE_FNS.get(key)
+    if run is None:
+        run = _DEVICE_INSTANCE_FNS[key] = _make_device_instance_fn(*key)
     return np.asarray(
         run(jnp.asarray(distance), jnp.asarray(binary != 0), jnp.asarray(seed_tile))
     ).copy()

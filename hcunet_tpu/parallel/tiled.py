@@ -142,6 +142,15 @@ def sharded_tiled_forward(
                 f"X={X} must divide into {n} shards of whole {ex}-wide tile "
                 f"columns (bucket-pad the volume first)"
             )
+        # Each shard's halo slices (slab[:, -px:] / slab[:, px-1::-1]) would
+        # silently clamp to narrower arrays if the slab is thinner than one
+        # halo, corrupting outputs instead of erroring.
+        if X // n < max(px, ex):
+            raise ValueError(
+                f"per-shard slab width {X // n} is thinner than the halo "
+                f"pad_x={px} / tile eval_x={ex}; use fewer shards or a "
+                f"larger volume"
+            )
         volume = lax.with_sharding_constraint(
             volume, NamedSharding(mesh, P(None, axis_name, None, None, None))
         )

@@ -26,20 +26,33 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     global _enabled
     if os.environ.get("HCUNET_NO_CACHE"):
         return None
-    cache_dir = (
-        cache_dir
-        or os.environ.get("HCUNET_CACHE_DIR")
-        or os.path.join(
+    explicit = cache_dir or os.environ.get("HCUNET_CACHE_DIR")
+    # Candidate order: explicit > repo-local .cache (source checkouts) >
+    # ~/.cache/hcunet (pip installs, where site-packages may be read-only).
+    candidates = [explicit] if explicit else [
+        os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
             ".cache", "jax",
-        )
-    )
+        ),
+        os.path.join(
+            os.environ.get("XDG_CACHE_HOME")
+            or os.path.join(os.path.expanduser("~"), ".cache"),
+            "hcunet", "jax",
+        ),
+    ]
     if _enabled:
-        return cache_dir
-    import jax
+        return candidates[0]
+    for cand in candidates:
+        try:
+            os.makedirs(cand, exist_ok=True)
+        except OSError:
+            continue
+        import jax
 
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    _enabled = True
-    return cache_dir
+        jax.config.update("jax_compilation_cache_dir", cand)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _enabled = True
+        return cand
+    # No writable location: run without a persistent cache rather than fail
+    # Segmenter/CLI construction as a side effect.
+    return None

@@ -208,8 +208,9 @@ def test_pipeline_dice_vs_torch_reference_composition():
     assert dice > 0.98, dice
 
     # --- instance stage, identical GT-derived candidates both sides ---
-    # the net is random-weight (no trained checkpoint exists, SURVEY §0), so
-    # its probability map is arbitrary but IDENTICAL across pipelines — pick
+    # the net is only briefly trained (50 steps — no reference checkpoint
+    # exists, SURVEY §0), so its probability map is approximate but
+    # IDENTICAL across pipelines — pick
     # each candidate's z at the map's own argmax so the occupancy filter
     # (segment.py:286-305 semantics) keeps a meaningful number of seeds
     zlv = [int(np.argmax(post_ref[x, y, :])) for x, y in centers]

@@ -163,3 +163,25 @@ def test_cli_study_command(tmp_path, capsys):
         import os
 
         assert os.path.exists(p)
+
+
+def test_load_legacy_cells_rejects_dangerous_globals(tmp_path):
+    """A crafted all_cells.pkl that smuggles an executable global (e.g.
+    ``os.system``) must raise instead of executing on load (ADVICE r2)."""
+    import pickle
+
+    import pytest
+
+    from hcunet_tpu.analysis.validate import load_legacy_cells
+
+    class Evil:
+        def __reduce__(self):
+            import os
+
+            return (os.system, ("true",))
+
+    p = tmp_path / "all_cells.pkl"
+    with open(p, "wb") as f:
+        pickle.dump([Evil()], f)
+    with pytest.raises(pickle.UnpicklingError, match="refusing to unpickle"):
+        load_legacy_cells(str(p))
