@@ -32,6 +32,9 @@ def _add_analyze(sub):
     p.add_argument("--no-cochlea", action="store_true")
     p.add_argument("--trace", default=None,
                    help="capture a jax.profiler trace into this directory")
+    p.add_argument("--spatial-shards", type=int, default=1,
+                   help="shard each chunk's X axis over this many devices "
+                        "(ICI halo exchange)")
 
 
 def _add_batch(sub):
@@ -41,6 +44,8 @@ def _add_batch(sub):
     p.add_argument("--detector", default=None)
     p.add_argument("--numchunks", type=int, default=6)
     p.add_argument("--retry-errors", action="store_true")
+    p.add_argument("--spatial-shards", type=int, default=1,
+                   help="shard each chunk's X axis over this many devices")
 
 
 def _add_train_unet(sub):
@@ -52,6 +57,10 @@ def _add_train_unet(sub):
     p.add_argument("--crop", type=int, nargs=3, default=[128, 128, 24])
     p.add_argument("--loss-method", default="pixel",
                    choices=["pixel", "worst_z", "sigmoid"])
+    p.add_argument("--data-parallel", type=int, default=1,
+                   help="shard each train batch over this many devices "
+                        "(gradient psum over ICI); groups this many crops "
+                        "per step")
 
 
 def _add_train_rcnn(sub):
@@ -177,12 +186,29 @@ def _load_models(unet_path, detector_path):
     return model, unet_apply, detector, detector_vars
 
 
+def _make_spatial_mesh(n_shards: int):
+    if n_shards <= 1:
+        return None
+    import jax
+
+    from hcunet_tpu.parallel.mesh import SPATIAL_AXIS, make_mesh
+
+    devices = jax.devices()
+    if len(devices) < n_shards:
+        raise SystemExit(
+            f"--spatial-shards {n_shards} needs {n_shards} devices, "
+            f"have {len(devices)}"
+        )
+    return make_mesh({SPATIAL_AXIS: n_shards}, devices[:n_shards])
+
+
 def _cmd_analyze_like(args):
     from hcunet_tpu.config import PipelineConfig
     from hcunet_tpu.infer.pipeline import analyze
 
     model, unet_apply, detector, det_vars = _load_models(args.unet, args.detector)
     cfg = PipelineConfig(numchunks=args.numchunks, unet=model.config)
+    mesh = _make_spatial_mesh(getattr(args, "spatial_shards", 1))
 
     if args.cmd == "analyze":
         import contextlib
@@ -197,7 +223,7 @@ def _cmd_analyze_like(args):
             result = analyze(
                 args.image, unet_apply=unet_apply, detector=detector,
                 detector_variables=det_vars, cfg=cfg, work_dir=out,
-                fit_cochlea=not args.no_cochlea,
+                fit_cochlea=not args.no_cochlea, mesh=mesh,
             )
         print(json.dumps({"cells": len(result.cells), "out": out}))
         return 0
@@ -208,6 +234,7 @@ def _cmd_analyze_like(args):
         analyze(
             img, unet_apply=unet_apply, detector=detector,
             detector_variables=det_vars, cfg=cfg, work_dir=out_dir,
+            mesh=mesh,
         )
 
     results = run_batch(args.data_root, one, retry_errors=args.retry_errors)
@@ -243,10 +270,24 @@ def _cmd_train_unet(args):
     )
     cfg = UNetConfig.production_3d()
     model, variables = init_unet(cfg, jax.random.PRNGKey(0))
+    mesh = None
+    if args.data_parallel > 1:
+        from hcunet_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+        devices = jax.devices()
+        if len(devices) < args.data_parallel:
+            raise SystemExit(
+                f"--data-parallel {args.data_parallel} needs that many "
+                f"devices, have {len(devices)}"
+            )
+        mesh = make_mesh(
+            {DATA_AXIS: args.data_parallel}, devices[: args.data_parallel]
+        )
     trainer = UNetTrainer(
         model, variables,
         TrainConfig(learning_rate=args.lr, epochs=args.epochs,
                     loss_method=args.loss_method, checkpoint_path=args.out),
+        mesh=mesh,
     )
     trainer.fit(ds)
     trainer.save(args.out)

@@ -74,6 +74,7 @@ def analyze(
     save_plots: bool = False,
     fit_cochlea: bool = True,
     overlap: Optional[bool] = None,
+    mesh=None,
 ) -> AnalyzeResult:
     """Analyze one cochlea z-stack.
 
@@ -90,11 +91,35 @@ def analyze(
     (``hcat/main.py:83-194``).  Default: auto — on when the host has more
     than one CPU (on a single-core host the threads only contend: measured
     0.545 → 0.488 MVx/s on the 1-cpu bench container).
+
+    ``mesh`` (a ``jax.sharding.Mesh`` with a ``spatial`` axis) runs each
+    chunk's semantic segmentation multi-chip: the chunk's X axis is sharded
+    over the mesh with ICI halo exchange
+    (:func:`hcunet_tpu.parallel.tiled.sharded_tiled_forward`), bucket-padded
+    so every shard owns whole tile columns.  Chunks too thin to shard fall
+    back to the single-device engine.  This is the reference's chunk loop
+    (``hcat/main.py:74-89``) finally living on the mesh.
     """
     import jax.numpy as jnp
 
     if overlap is None:
         overlap = (os.cpu_count() or 1) > 1
+
+    sharded_seg = n_shards = None
+    if mesh is not None:
+        from hcunet_tpu.parallel.mesh import SPATIAL_AXIS
+        from hcunet_tpu.parallel.tiled import sharded_tiled_forward
+
+        if SPATIAL_AXIS not in mesh.axis_names:
+            raise ValueError(
+                f"mesh {mesh.axis_names} has no '{SPATIAL_AXIS}' axis"
+            )
+        n_shards = int(mesh.shape[SPATIAL_AXIS])
+        sharded_seg = sharded_tiled_forward(
+            unet_apply, mesh, cfg.unet, cfg.tiles,
+            use_probability_map=True,
+            postprocess=(cfg.gaussian_sigma, cfg.prob_floor, cfg.prob_scale),
+        )
 
     os.makedirs(work_dir, exist_ok=True)
 
@@ -188,17 +213,43 @@ def analyze(
                 # --- semantic segmentation (hot loop #1) with the fused
                 # blur/floor/rescale epilogue (main.py:130-132) on device ---
                 with _staged("unet"):
-                    prob = predict_segmentation_mask(
-                        unet_apply,
-                        jnp.asarray(norm[None], jnp.float32),
-                        cfg.unet,
-                        cfg.tiles,
-                        use_probability_map=True,
-                        postprocess=(
-                            cfg.gaussian_sigma, cfg.prob_floor, cfg.prob_scale
-                        ),
+                    Xc = norm.shape[0]
+                    quantum = (
+                        n_shards * int(cfg.tiles.eval_size[0])
+                        if sharded_seg is not None else 0
                     )
-                    prob = np.asarray(prob)[0, ..., 0].astype(np.float32)
+                    # shard only when every shard gets at least one tile
+                    # column of REAL data (Xc >= quantum) — bucket-padding a
+                    # thin chunk across the mesh would be pure waste — and
+                    # when the slab clears the halo constraint
+                    if sharded_seg is not None and Xc >= quantum and (
+                        -(-Xc // quantum) * quantum
+                    ) // n_shards >= max(
+                        int(cfg.tiles.pad[0]), int(cfg.tiles.eval_size[0])
+                    ):
+                        Xb = -(-Xc // quantum) * quantum
+                        padded = norm if Xb == Xc else np.pad(
+                            norm, [(0, Xb - Xc), (0, 0), (0, 0), (0, 0)],
+                            mode="symmetric" if Xb - Xc <= Xc else "edge",
+                        )
+                        prob = sharded_seg(
+                            jnp.asarray(padded[None], jnp.float32)
+                        )
+                        prob = np.asarray(prob)[0, :Xc, ..., 0]
+                        prob = prob.astype(np.float32)
+                    else:
+                        prob = predict_segmentation_mask(
+                            unet_apply,
+                            jnp.asarray(norm[None], jnp.float32),
+                            cfg.unet,
+                            cfg.tiles,
+                            use_probability_map=True,
+                            postprocess=(
+                                cfg.gaussian_sigma, cfg.prob_floor,
+                                cfg.prob_scale
+                            ),
+                        )
+                        prob = np.asarray(prob)[0, ..., 0].astype(np.float32)
 
                 # --- instance watershed (hot loop #3) + spill, overlapped
                 # with the next chunk's device work ---

@@ -35,7 +35,13 @@ class Segmenter:
         postprocess: Optional[Tuple[float, float, float]] = None,
         dtype=None,
         packed: bool = True,
+        mesh=None,
     ):
+        """``mesh``: a ``jax.sharding.Mesh`` with a ``spatial`` axis — when
+        given, ``predict`` shards the volume's X axis over it and runs the
+        tile engine per shard with ICI halo exchange
+        (:func:`hcunet_tpu.parallel.tiled.sharded_tiled_forward`); volumes
+        are bucket-padded so every shard owns whole tile columns."""
         import jax
 
         from hcunet_tpu.utils.cache import enable_compilation_cache
@@ -49,6 +55,17 @@ class Segmenter:
         self.tile_cfg = tile_cfg or auto_tile_config(self.cfg)
         self.use_probability_map = use_probability_map
         self.postprocess = postprocess
+        self.mesh = mesh
+        self._n_shards = 1
+        self._sharded_fn = None
+        if mesh is not None:
+            from hcunet_tpu.parallel.mesh import SPATIAL_AXIS
+
+            if SPATIAL_AXIS not in mesh.axis_names:
+                raise ValueError(
+                    f"mesh {mesh.axis_names} has no '{SPATIAL_AXIS}' axis"
+                )
+            self._n_shards = int(mesh.shape[SPATIAL_AXIS])
         if packed:
             # production path: BN-folded, z-block lane-packed forward
             # (infer/compile.py; falls back to plain apply for 2D/dilated
@@ -77,14 +94,27 @@ class Segmenter:
 
     # -- shape bucketing ------------------------------------------------------
 
+    def _use_sharded(self, spatial: Sequence[int]) -> bool:
+        """Shard only when every shard holds at least one tile column of
+        real data; thinner volumes run the single-device engine
+        (bucket-padding them across the mesh would be pure waste)."""
+        return self._n_shards > 1 and spatial[0] >= self._n_shards * int(
+            self.tile_cfg.eval_size[0]
+        )
+
     def bucket_shape(self, spatial: Sequence[int]) -> Tuple[int, ...]:
         """Round a volume shape up to the tile-core grid so distinct inputs
-        share compiled programs."""
+        share compiled programs.  In sharded mode X additionally rounds to
+        whole tile columns per shard (``n_shards * eval_x``)."""
         ev = self.tile_cfg.eval_size
-        return tuple(
+        bucket = [
             int(-(-s // e) * e) if s > e else int(s)
             for s, e in zip(spatial, ev)
-        )
+        ]
+        if self._use_sharded(spatial):
+            quantum = int(ev[0]) * self._n_shards
+            bucket[0] = int(-(-spatial[0] // quantum) * quantum)
+        return tuple(bucket)
 
     def predict(self, volume: np.ndarray) -> np.ndarray:
         """``volume``: [X, Y, Z, C] (already normalized).  Returns
@@ -102,18 +132,36 @@ class Segmenter:
             ) else "edge")
             log.info("bucketed %s -> %s", tuple(spatial), bucket)
 
-        from hcunet_tpu.infer.tiling import predict_segmentation_mask
+        if self._use_sharded(spatial):
+            out = self._sharded_forward()(jnp.asarray(volume[None], jnp.float32))
+        else:
+            from hcunet_tpu.infer.tiling import predict_segmentation_mask
 
-        out = predict_segmentation_mask(
-            self.apply_fn,
-            jnp.asarray(volume[None], jnp.float32),
-            self.cfg,
-            self.tile_cfg,
-            use_probability_map=self.use_probability_map,
-            postprocess=self.postprocess,
-        )
+            out = predict_segmentation_mask(
+                self.apply_fn,
+                jnp.asarray(volume[None], jnp.float32),
+                self.cfg,
+                self.tile_cfg,
+                use_probability_map=self.use_probability_map,
+                postprocess=self.postprocess,
+            )
         out = np.asarray(out)[0, ..., 0]
         return out[: spatial[0], : spatial[1], : spatial[2]]
+
+    def _sharded_forward(self):
+        """Build (once) the multi-chip tiled forward for this mesh."""
+        if self._sharded_fn is None:
+            from hcunet_tpu.parallel.tiled import sharded_tiled_forward
+
+            self._sharded_fn = sharded_tiled_forward(
+                self.apply_fn,
+                self.mesh,
+                self.cfg,
+                self.tile_cfg,
+                use_probability_map=self.use_probability_map,
+                postprocess=self.postprocess,
+            )
+        return self._sharded_fn
 
     def warmup(self, shapes: Sequence[Sequence[int]]) -> None:
         """Compile the programs for a set of expected volume shapes."""

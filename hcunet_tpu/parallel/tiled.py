@@ -48,6 +48,7 @@ def sharded_tiled_forward(
     axis_name: str = SPATIAL_AXIS,
     use_probability_map: bool = True,
     threshold: float = 0.5,
+    postprocess: Optional[Tuple[float, float, float]] = None,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Build the multi-chip tiled segmentation function.
 
@@ -55,6 +56,13 @@ def sharded_tiled_forward(
     ``[1, X, Y, Z, Cout]`` probabilities (or uint8 when
     ``use_probability_map=False``), numerically identical to the
     single-device ``predict_segmentation_mask`` on the same tile geometry.
+
+    ``postprocess=(sigma, floor, scale)`` fuses the pipeline's gaussian
+    blur / floor / rescale epilogue (``hcat/main.py:130-132``): it runs
+    *outside* the ``shard_map`` but inside the same jit, on the still-sharded
+    output — XLA/GSPMD inserts the cross-shard halo exchange for the blur
+    stencil automatically, so the result matches the single-device epilogue
+    exactly.
 
     Constraints (checked): ``X`` divisible by ``n_shards * eval_x`` so every
     device owns a whole number of tile columns, and the halo must cover the
@@ -154,7 +162,17 @@ def sharded_tiled_forward(
         volume = lax.with_sharding_constraint(
             volume, NamedSharding(mesh, P(None, axis_name, None, None, None))
         )
-        return sharded(volume)
+        out = sharded(volume)
+        if postprocess is not None:
+            from hcunet_tpu.ops.filters import gaussian_blur
+
+            sigma, floor, scale = postprocess
+            out = gaussian_blur(out, sigma, axes=(1, 2, 3))
+            out = jnp.where(out < floor, 0.0, out) * scale
+            out = lax.with_sharding_constraint(
+                out, NamedSharding(mesh, P(None, axis_name, None, None, None))
+            )
+        return out
 
     return run
 

@@ -64,15 +64,53 @@ def _make_tx(cfg: TrainConfig) -> optax.GradientTransformation:
 
 
 class UNetTrainer:
-    def __init__(self, model, variables: Dict, cfg: TrainConfig = TrainConfig()):
+    def __init__(
+        self, model, variables: Dict, cfg: TrainConfig = TrainConfig(),
+        mesh=None,
+    ):
+        """``mesh``: a ``jax.sharding.Mesh`` — when given, the train step is
+        built by :func:`hcunet_tpu.parallel.train.make_sharded_train_step`:
+        the batch shards over the ``data`` axis, large conv kernels over
+        ``model``, and XLA inserts the gradient psum over ICI.  ``fit``
+        then groups ``data``-axis-size samples into each global batch."""
         self.model = model
         self.cfg = cfg
+        self.mesh = mesh
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
         self.tx = _make_tx(cfg)
-        self.opt_state = self.tx.init(self.params)
         self.metrics = Metrics()
-        self._step = self._build_step()
+        if mesh is not None:
+            from hcunet_tpu.parallel.mesh import DATA_AXIS
+            from hcunet_tpu.parallel.train import make_sharded_train_step
+
+            self.data_size = int(mesh.shape.get(DATA_AXIS, 1))
+            init_fn, step_fn = make_sharded_train_step(
+                self._make_loss_with_stats(), self.tx, mesh, self.params
+            )
+            self._init_fn = init_fn
+            self._state = init_fn(self.params, self.batch_stats)
+            self.params = self._state.params
+            self.batch_stats = self._state.batch_stats
+            self.opt_state = self._state.opt_state
+            self._sharded_step = step_fn
+        else:
+            self.data_size = 1
+            self.opt_state = self.tx.init(self.params)
+            self._step = self._build_step()
+
+    def _make_loss_with_stats(self):
+        from hcunet_tpu.parallel.train import make_unet_loss_fn
+
+        cfg = self.cfg
+
+        def loss_fn(out, mask, pwl):
+            loss = cross_entropy(out, mask, pwl, method=cfg.loss_method)
+            if cfg.dice_weight:
+                loss = loss + cfg.dice_weight * dice(out, mask)
+            return loss
+
+        return make_unet_loss_fn(self.model, loss_fn)
 
     def _build_step(self):
         model, cfg = self.model, self.cfg
@@ -101,6 +139,14 @@ class UNetTrainer:
         return step
 
     def train_step(self, image, mask, pwl) -> float:
+        if self.mesh is not None:
+            self._state, loss = self._sharded_step(
+                self._state, (image, mask, pwl)
+            )
+            self.params = self._state.params
+            self.batch_stats = self._state.batch_stats
+            self.opt_state = self._state.opt_state
+            return float(loss)
         self.params, self.batch_stats, self.opt_state, loss = self._step(
             self.params, self.batch_stats, self.opt_state, image, mask, pwl
         )
@@ -109,6 +155,25 @@ class UNetTrainer:
     @property
     def variables(self) -> Dict:
         return {"params": self.params, "batch_stats": self.batch_stats}
+
+    def _iter_batches(self, dataset):
+        """Yield global batches: single samples normally; groups of
+        ``data``-axis-size samples stacked along the batch dim when training
+        over a mesh (wrapping to fill the last group, so every step has a
+        shardable batch)."""
+        n = len(dataset)
+        if self.data_size <= 1:
+            for i in range(n):
+                yield dataset[i]
+            return
+        for g0 in range(0, n, self.data_size):
+            samples = [
+                dataset[(g0 + k) % n] for k in range(self.data_size)
+            ]
+            yield tuple(
+                np.concatenate([np.asarray(s[j]) for s in samples], axis=0)
+                for j in range(len(samples[0]))
+            )
 
     def fit(self, dataset, epochs: Optional[int] = None) -> List[float]:
         """``dataset``: indexable of ``(image, mask, pwl)`` channels-last
@@ -120,8 +185,7 @@ class UNetTrainer:
         for e in range(epochs):
             t0 = time.perf_counter()
             total = 0.0
-            for i in range(len(dataset)):
-                image, mask, pwl = dataset[i]
+            for image, mask, pwl in self._iter_batches(dataset):
                 total += self.train_step(
                     jnp.asarray(image), jnp.asarray(mask), jnp.asarray(pwl)
                 )
@@ -181,12 +245,45 @@ class UNetTrainer:
         self.params = state["variables"]["params"]
         self.batch_stats = state["variables"].get("batch_stats", {})
         self.opt_state = state["opt_state"]
+        if self.mesh is not None:
+            # re-place params/stats with their mesh shardings; the restored
+            # optimizer state starts wherever device_put leaves it and the
+            # step's sharding constraints re-distribute it on first use
+            self._state = self._init_fn(self.params, self.batch_stats)._replace(
+                opt_state=jax.device_put(self.opt_state)
+            )
+            self.params = self._state.params
+            self.batch_stats = self._state.batch_stats
+            self.opt_state = self._state.opt_state
 
 
 class RecurrentTrainer(UNetTrainer):
     """r-unet/RDCNet recipe: out[..., 0] is the probability channel trained
     with pwl-BCE; out[..., 2:5] are the vector channels trained with MSE
     (``tests/r_unet_test.py:51-54``)."""
+
+    def _make_loss_with_stats(self):
+        model, cfg = self.model, self.cfg
+
+        def fn(params, batch_stats, batch):
+            image, mask, pwl, vec = batch
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+                out, updates = model.apply(
+                    variables, image, train=True, mutable=["batch_stats"]
+                )
+                new_stats = updates["batch_stats"]
+            else:
+                out = model.apply(variables, image)
+                new_stats = batch_stats
+            loss = cross_entropy(
+                out[..., 0:1], mask, pwl, method=cfg.loss_method
+            )
+            loss = loss + mse_loss(out[..., 2:5], vec)
+            return loss, new_stats
+
+        return fn
 
     def _build_step(self):
         model, cfg = self.model, self.cfg
@@ -220,6 +317,16 @@ class RecurrentTrainer(UNetTrainer):
         return step
 
     def train_step(self, image, mask, pwl, vec) -> float:  # type: ignore[override]
+        if self.mesh is not None:
+            self._state, loss = self._sharded_step(
+                self._state,
+                (jnp.asarray(image), jnp.asarray(mask), jnp.asarray(pwl),
+                 jnp.asarray(vec)),
+            )
+            self.params = self._state.params
+            self.batch_stats = self._state.batch_stats
+            self.opt_state = self._state.opt_state
+            return float(loss)
         self.params, self.batch_stats, self.opt_state, loss = self._step(
             self.params, self.batch_stats, self.opt_state,
             jnp.asarray(image), jnp.asarray(mask), jnp.asarray(pwl),
@@ -233,8 +340,7 @@ class RecurrentTrainer(UNetTrainer):
         summed: List[float] = []
         for e in range(epochs):
             total = 0.0
-            for i in range(len(dataset)):
-                image, mask, pwl, com, vec = dataset[i]
+            for image, mask, pwl, com, vec in self._iter_batches(dataset):
                 total += self.train_step(image, mask, pwl, vec)
             summed.append(total)
             self.metrics.write(epoch=e, summed_loss=total)

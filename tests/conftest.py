@@ -43,6 +43,10 @@ SLOW_TESTS = {
     "test_analyze_resumes_from_journal",
     "test_sharded_train_step_runs_and_matches_single",
     "test_spatial_sharded_forward_matches_dense",
+    "test_segmenter_sharded_matches_single_device",
+    "test_segmenter_sharded_with_postprocess_and_packed",
+    "test_analyze_sharded_matches_single_device",
+    "test_cli_analyze_spatial_shards",
     "test_tiled_matches_dense_when_aligned",
     "test_reference_grid_parity_with_torch_oracle",
     "test_fused_postprocess_matches_scipy",

@@ -174,3 +174,131 @@ def test_sharded_tile_config_divides_slab(small_cfg):
         volume_shape=(320, 64, 8),
     )
     assert (320 // 8) % cfg.eval_size[0] == 0
+
+
+def test_segmenter_sharded_matches_single_device(small_cfg):
+    """`Segmenter(mesh=...)` — the productized multi-chip path — must equal
+    the single-device Segmenter voxel-for-voxel (VERDICT r2, item 1)."""
+    from hcunet_tpu.config import TileConfig
+    from hcunet_tpu.infer.serving import Segmenter
+
+    model, variables = init_unet(small_cfg, jax.random.PRNGKey(0), (48, 56, 12))
+    tile_cfg = TileConfig(eval_size=(16, 24, 8), pad=(16, 16, 2), batch=2)
+    mesh = make_mesh({SPATIAL_AXIS: 8})
+
+    vol = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(7), (128, 40, 8, 4)), np.float32
+    )
+    seg1 = Segmenter(model, variables, tile_cfg, packed=False)
+    seg8 = Segmenter(model, variables, tile_cfg, packed=False, mesh=mesh)
+    assert seg8.bucket_shape(vol.shape[:-1])[0] % (8 * 16) == 0
+    np.testing.assert_allclose(
+        seg8.predict(vol), seg1.predict(vol), atol=2e-6
+    )
+
+
+def test_segmenter_sharded_with_postprocess_and_packed(small_cfg):
+    """Sharded serving with the packed forward and the fused blur/floor/
+    rescale epilogue (GSPMD halo exchange for the blur stencil)."""
+    from hcunet_tpu.config import TileConfig
+    from hcunet_tpu.infer.serving import Segmenter
+
+    model, variables = init_unet(small_cfg, jax.random.PRNGKey(0), (48, 56, 12))
+    tile_cfg = TileConfig(eval_size=(16, 24, 8), pad=(16, 16, 2), batch=2)
+    mesh = make_mesh({SPATIAL_AXIS: 8})
+    post = (3.0, 0.25, 10.0)
+
+    vol = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(8), (128, 40, 8, 4)), np.float32
+    )
+    seg1 = Segmenter(model, variables, tile_cfg, postprocess=post)
+    seg8 = Segmenter(model, variables, tile_cfg, postprocess=post, mesh=mesh)
+    np.testing.assert_allclose(
+        seg8.predict(vol), seg1.predict(vol), atol=2e-5
+    )
+
+
+def test_analyze_sharded_matches_single_device(small_cfg, tmp_path):
+    """`analyze(mesh=...)`: the end-to-end pipeline on the 8-shard mesh
+    produces identical masks, instance labels and cells to single-device."""
+    from hcunet_tpu.config import PipelineConfig, TileConfig
+    from hcunet_tpu.infer.pipeline import analyze
+
+    model, variables = init_unet(small_cfg, jax.random.PRNGKey(0), (48, 56, 12))
+    apply_fn = jax.tree_util.Partial(
+        lambda v, t: model.apply(v, t, train=False), variables
+    )
+    cfg = PipelineConfig(
+        numchunks=2,
+        unet=small_cfg,
+        tiles=TileConfig(eval_size=(16, 24, 8), pad=(16, 16, 2), batch=2),
+    )
+    mesh = make_mesh({SPATIAL_AXIS: 8})
+
+    rng = np.random.default_rng(3)
+    vol = rng.random((128, 40, 8, 4), np.float32)
+
+    res1 = analyze(
+        volume=vol, unet_apply=apply_fn, cfg=cfg,
+        work_dir=str(tmp_path / "single"), fit_cochlea=False, overlap=False,
+    )
+    res8 = analyze(
+        volume=vol, unet_apply=apply_fn, cfg=cfg,
+        work_dir=str(tmp_path / "sharded"), fit_cochlea=False, overlap=False,
+        mesh=mesh,
+    )
+    np.testing.assert_allclose(res8.mask, res1.mask, atol=2e-5)
+    np.testing.assert_array_equal(res8.unique_mask, res1.unique_mask)
+    assert len(res8.cells) == len(res1.cells)
+
+
+def test_unet_trainer_mesh_matches_single_device(small_cfg):
+    """UNetTrainer(mesh=...) — the trainer-level productization — must track
+    the single-device trainer's loss trajectory on identical global batches."""
+    from hcunet_tpu.train.trainer import TrainConfig, UNetTrainer
+
+    model, variables = init_unet(small_cfg, jax.random.PRNGKey(0), (48, 48, 8))
+    mesh = default_multichip_mesh(8)
+    tcfg = TrainConfig(learning_rate=1e-3, loss_method="pixel")
+
+    tr_mesh = UNetTrainer(model, dict(variables), tcfg, mesh=mesh)
+    assert tr_mesh.data_size == mesh.shape[DATA_AXIS]
+    tr_single = UNetTrainer(model, dict(variables), tcfg)
+
+    rng = np.random.default_rng(0)
+    # dataset of batch-1 samples; the mesh trainer groups data_size of them
+    ds = [
+        (
+            rng.random((1, 48, 48, 8, 4), np.float32),
+            (rng.random((1, 48, 48, 8, 1)) > 0.7).astype(np.float32),
+            np.ones((1, 48, 48, 8, 1), np.float32),
+        )
+        for _ in range(4)
+    ]
+    losses_mesh = [
+        tr_mesh.train_step(*b) for b in tr_mesh._iter_batches(ds)
+    ]
+    losses_single = [
+        tr_single.train_step(
+            jnp.asarray(i), jnp.asarray(m), jnp.asarray(p)
+        )
+        for i, m, p in tr_mesh._iter_batches(ds)
+    ]
+    assert len(losses_mesh) == len(ds) // tr_mesh.data_size
+    np.testing.assert_allclose(losses_mesh, losses_single, rtol=1e-4)
+
+
+def test_sharded_tiled_forward_rejects_thin_slab(small_cfg):
+    from hcunet_tpu.config import TileConfig
+    from hcunet_tpu.parallel.tiled import sharded_tiled_forward
+
+    model, variables = init_unet(small_cfg, jax.random.PRNGKey(0), (48, 56, 12))
+    apply_fn = jax.tree_util.Partial(
+        lambda v, t: model.apply(v, t, train=False), variables
+    )
+    tile_cfg = TileConfig(eval_size=(8, 24, 8), pad=(16, 16, 2), batch=2)
+    mesh = make_mesh({SPATIAL_AXIS: 8})
+    run = sharded_tiled_forward(apply_fn, mesh, small_cfg, tile_cfg)
+    thin = jnp.zeros((1, 8 * 8, 40, 8, 4))  # slab 8 < pad_x 16
+    with pytest.raises(ValueError, match="thinner than the halo"):
+        run(thin)

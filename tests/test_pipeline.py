@@ -314,3 +314,46 @@ def test_cli_analyze_end_to_end(tmp_path, capsys):
     info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert info["out"] == out
     assert os.path.exists(os.path.join(out, "cells.csv"))
+
+
+def test_cli_analyze_spatial_shards(tmp_path, capsys):
+    """`hcunet analyze --spatial-shards` completes and matches the
+    single-device run's cell table (thin chunks fall back gracefully)."""
+    import json
+
+    import jax
+
+    from hcunet_tpu.cli import main
+    from hcunet_tpu.config import UNetConfig
+    from hcunet_tpu.data.tiff import imwrite
+    from hcunet_tpu.models.unet import init_unet
+    from hcunet_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = UNetConfig(
+        feature_sizes=(8, 16), kernel1=(3, 3, 2), kernel2=(3, 3, 1),
+        upsample_kernel=(4, 4, 2), max_pool_kernel=(2, 2, 1),
+        upsample_stride=(2, 2, 1), groups=1,
+    )
+    model, variables = init_unet(cfg, jax.random.PRNGKey(0), (48, 48, 8))
+    ckpt = str(tmp_path / "unet.hcunet")
+    save_checkpoint(ckpt, dict(variables), cfg, snapshot_sources=False)
+
+    vol = (np.random.default_rng(1).random((6, 48, 48, 4)) * 255).astype(
+        np.uint8
+    )
+    img = str(tmp_path / "stack.tif")
+    imwrite(img, vol)
+
+    outs = {}
+    for shards, name in ((1, "single"), (2, "sharded")):
+        out = str(tmp_path / name)
+        rc = main([
+            "analyze", img, "--unet", ckpt, "--out", out,
+            "--numchunks", "2", "--no-cochlea",
+            "--spatial-shards", str(shards),
+        ])
+        assert rc == 0
+        info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        outs[name] = info["cells"]
+        assert os.path.exists(os.path.join(out, "cells.csv"))
+    assert outs["single"] == outs["sharded"]
