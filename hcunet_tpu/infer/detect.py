@@ -33,20 +33,21 @@ DET_PAD = (24, 24)
 DET_EVAL = (1000, 1000)
 
 
-def predict_cell_candidates(
-    image: np.ndarray,
+def dispatch_cell_candidates(
+    image,
     detector,
     variables: Dict,
     eval_size=DET_EVAL,
     pad=DET_PAD,
-    initial_coords=(0, 0),
-    score_floor: float = 0.0,
-    progress=None,
-) -> Dict[str, np.ndarray]:
-    """``image``: [X, Y, Z, C>=3] volume (channels-last, already
-    normalized; the pipeline passes channels (0, 2, 3) like
-    ``hcat/main.py:99``).  Returns the merged candidate dict with boxes in
-    array axes (x=dim0, y=dim1), plus per-box ``z_level``.
+):
+    """Dispatch the per-tile detection programs without blocking.
+
+    ``image`` may be host numpy or an already-device-resident jnp array
+    ([X, Y, Z, C>=3], normalized) — the pipeline uploads each chunk once and
+    slices the detector's channels on device, so detection costs no second
+    host→device transfer.  Returns an opaque list of in-flight tiles for
+    :func:`collect_cell_candidates`; device execution proceeds while the
+    caller dispatches more work (e.g. the segmentation program).
     """
     X, Y, Z = image.shape[:3]
     eval_size = [min(e, s) for e, s in zip(eval_size, (X, Y))]
@@ -63,37 +64,80 @@ def predict_cell_candidates(
     else:
         y_ind = calculate_indexes(pad[1], eval_size[1], Y, Y)
 
-    candidates = None
+    on_device = not isinstance(image, np.ndarray)
+    pending = []
     for x0, x1 in x_ind:
         for y0, y1 in y_ind:
             tile = image[x0:x1, y0:y1, :, :3]  # [H, W, Z, 3]
             # batch all z planes: [Z, H, W, 3]
-            batch = np.moveaxis(tile, 2, 0).astype(np.float32)
-            out = detector.detect(variables, jnp.asarray(batch))
-            boxes = np.asarray(out["boxes"])  # [Z, K, 4] detector axes
-            scores = np.asarray(out["scores"])
-            labels = np.asarray(out["labels"])
-            valid = np.asarray(out["valid"]) & (scores > score_floor)
+            if on_device:
+                batch = jnp.moveaxis(tile, 2, 0).astype(jnp.float32)
+            else:
+                batch = jnp.asarray(
+                    np.moveaxis(np.asarray(tile), 2, 0).astype(np.float32)
+                )
+            out = detector.detect(variables, batch)
+            pending.append((x0, x1, y0, y1, Z, out))
+    return pending
 
-            for z in range(Z):
-                v = valid[z]
-                if not v.any():
-                    continue
-                det = boxes[z][v]
-                # detector (x=W=dim1, y=H=dim0) -> array axes (dim0, dim1)
-                arr_boxes = np.stack(
-                    [det[:, 1], det[:, 0], det[:, 3], det[:, 2]], axis=1
-                )
-                new = {
-                    "boxes": arr_boxes.astype(np.float32),
-                    "scores": scores[z][v].astype(np.float32),
-                    "labels": labels[z][v].astype(np.int32),
-                    "z_level": np.full(v.sum(), float(z), np.float32),
-                }
-                candidates = merge_cell_candidates(
-                    candidates, new,
-                    initial_coords=(x0 + initial_coords[0], y0 + initial_coords[1]),
-                )
-            if progress:
-                progress(f"detect tile [{x0}:{x1}, {y0}:{y1}]")
+
+def collect_cell_candidates(
+    pending,
+    initial_coords=(0, 0),
+    score_floor: float = 0.0,
+    progress=None,
+) -> Dict[str, np.ndarray]:
+    """Fetch dispatched detections and NMS-merge them into the global
+    candidate list (``utils.merge_cell_candidates`` semantics)."""
+    candidates = None
+    for x0, x1, y0, y1, Z, out in pending:
+        boxes = np.asarray(out["boxes"])  # [Z, K, 4] detector axes
+        scores = np.asarray(out["scores"])
+        labels = np.asarray(out["labels"])
+        valid = np.asarray(out["valid"]) & (scores > score_floor)
+
+        for z in range(Z):
+            v = valid[z]
+            if not v.any():
+                continue
+            det = boxes[z][v]
+            # detector (x=W=dim1, y=H=dim0) -> array axes (dim0, dim1)
+            arr_boxes = np.stack(
+                [det[:, 1], det[:, 0], det[:, 3], det[:, 2]], axis=1
+            )
+            new = {
+                "boxes": arr_boxes.astype(np.float32),
+                "scores": scores[z][v].astype(np.float32),
+                "labels": labels[z][v].astype(np.int32),
+                "z_level": np.full(v.sum(), float(z), np.float32),
+            }
+            candidates = merge_cell_candidates(
+                candidates, new,
+                initial_coords=(x0 + initial_coords[0], y0 + initial_coords[1]),
+            )
+        if progress:
+            progress(f"detect tile [{x0}:{x1}, {y0}:{y1}]")
     return candidates if candidates is not None else empty_candidates()
+
+
+def predict_cell_candidates(
+    image: np.ndarray,
+    detector,
+    variables: Dict,
+    eval_size=DET_EVAL,
+    pad=DET_PAD,
+    initial_coords=(0, 0),
+    score_floor: float = 0.0,
+    progress=None,
+) -> Dict[str, np.ndarray]:
+    """``image``: [X, Y, Z, C>=3] volume (channels-last, already
+    normalized; the pipeline passes channels (0, 2, 3) like
+    ``hcat/main.py:99``).  Returns the merged candidate dict with boxes in
+    array axes (x=dim0, y=dim1), plus per-box ``z_level``.
+    """
+    return collect_cell_candidates(
+        dispatch_cell_candidates(image, detector, variables, eval_size, pad),
+        initial_coords=initial_coords,
+        score_floor=score_floor,
+        progress=progress,
+    )
