@@ -48,6 +48,7 @@ __all__ = [
     "generate_cell_objects",
     "Segmenter",
     "compile_serving_apply",
+    "compile_recurrent_apply",
 ]
 
 _LAZY = {
@@ -63,6 +64,10 @@ _LAZY = {
     "generate_cell_objects": ("hcunet_tpu.analysis.haircell", "generate_cell_objects"),
     "Segmenter": ("hcunet_tpu.infer.serving", "Segmenter"),
     "compile_serving_apply": ("hcunet_tpu.infer.compile", "compile_serving_apply"),
+    "compile_recurrent_apply": (
+        "hcunet_tpu.infer.compile_recurrent",
+        "compile_recurrent_apply",
+    ),
 }
 
 

@@ -19,6 +19,7 @@ the measured stage baselines (unet 0.00969 MVx/s + detection 127.1 s per
 """
 
 import json
+import os
 import sys
 import time
 
@@ -127,13 +128,37 @@ def _fit_unet_to_scene(model, variables, vol, truth, steps=40):
 
     A random-weight net emits near-flat noise — the watershed's worst case
     (10x its realistic cost) — which would make the pipeline number
-    meaningless.  Real deployments run trained checkpoints."""
+    meaningless.  Real deployments run trained checkpoints.
+
+    The fitted weights are cached on disk keyed by (scene, steps, seed) so
+    repeated bench runs time the IDENTICAL model — run-to-run variance then
+    reflects the pipeline alone, not the fit (VERDICT r2 weak #7)."""
+    import hashlib
+
     import jax
     import jax.numpy as jnp
     import numpy as np
     import optax
+    from flax import serialization
 
     from hcunet_tpu.train.losses import cross_entropy
+    from hcunet_tpu.utils.cache import enable_compilation_cache
+
+    cache_root = enable_compilation_cache()
+    fit_cache = None
+    if cache_root is not None:
+        key = hashlib.sha1(
+            np.ascontiguousarray(vol[::97].ravel()[::397]).tobytes()
+            + str((vol.shape, steps)).encode()
+        ).hexdigest()[:16]
+        fit_cache = os.path.join(
+            os.path.dirname(cache_root), f"bench_fit_{key}.msgpack"
+        )
+        if os.path.exists(fit_cache):
+            with open(fit_cache, "rb") as f:
+                return serialization.from_bytes(
+                    jax.tree.map(np.asarray, variables), f.read()
+                )
 
     x = jnp.asarray(((vol[:256, :256] - 0.5) / 0.5)[None], jnp.float32)
     y = jnp.asarray((truth[:256, :256] > 0.3)[None, ..., None].astype(np.float32))
@@ -160,7 +185,11 @@ def _fit_unet_to_scene(model, variables, vol, truth, steps=40):
         params, batch_stats, opt_state, _loss = step(
             params, batch_stats, opt_state
         )
-    return {"params": params, "batch_stats": batch_stats}
+    fitted = {"params": params, "batch_stats": batch_stats}
+    if fit_cache is not None:
+        with open(fit_cache, "wb") as f:
+            f.write(serialization.to_bytes(jax.tree.map(np.asarray, fitted)))
+    return fitted
 
 
 def pipeline_main():

@@ -153,12 +153,19 @@ def conv_packed(
     lhs_dilation: Optional[Tuple[int, int]] = None,
     pad_xy: Tuple[int, int] = (0, 0),
     z_grow: int = 0,
+    z_delta: Optional[int] = None,
     dtype=jnp.bfloat16,
 ) -> _Packed:
     """Run one packed conv.  ``z_grow`` is the z-extent change (e.g. +1 for
     the (kz=2, stride-1) transpose conv); the nb axis is zero-extended so
-    all valid out slots exist."""
-    z_out = x.z_len + z_grow if z_grow else x.z_len - (kz - 1)
+    all valid out slots exist.  ``z_delta`` (used by the same-padding
+    recurrent family) sets ``z_out = z_len + z_delta`` explicitly — e.g. 0
+    for a symmetric-zero-pad z conv whose weights carry the matching
+    ``z_shift``."""
+    if z_delta is not None:
+        z_out = x.z_len + z_delta
+    else:
+        z_out = x.z_len + z_grow if z_grow else x.z_len - (kz - 1)
     nb_out_needed = -(-z_out // x.zb)
     # VALID conv over nb: out_nb = nb + left + right - kzb + 1
     nb_right = max(0, nb_out_needed - (x.nb + nb_left - kzb + 1))

@@ -1,0 +1,419 @@
+"""Packed serving compiler for the recurrent family (VERDICT r2, item 5).
+
+``RecursiveUNet`` (``hcat/r_unet.py:38-160``) runs 10 timesteps of a
+2-level same-padding U-Net at channel widths 9..64 — exactly the small-C
+lane-waste the U-Net serving compiler (:mod:`hcunet_tpu.infer.compile`)
+fixes.  This module applies the same two transforms *inside the scan body*:
+
+1. **BN folding** — every ``SameConvBNRelu`` collapses to one conv;
+2. **z-block lane packing** — ``zb`` z-planes ride the channel/lane dim
+   (c-major), with ``zb`` chosen per level as the divisor of the volume's
+   z extent closest to ``128 / C`` — divisibility means no garbage slots
+   ever exist, so the symmetric z zero-padding of the same-pad convs is
+   exactly the packed conv's nb-block zero extension.
+
+The weights pack once per (z-extent, dtype) on the host; the step body is a
+``lax.scan`` over packed carries ``(s_t, h_t)`` (the image rides packed as a
+closure constant), so the recurrence stays one compiled program.
+
+Differences from the valid-conv compiler worth noting:
+* all convs are torch ``padding=1`` same-pads → packed with ``z_shift=-1``
+  and ``z_delta=0`` (z extent never changes through the network);
+* the (6, 6, 5)/(2, 2, 1) transpose conv runs as 4 parity convs +
+  interleave by default (``lhs_dilation`` executes 4x the useful FLOPs);
+  the flipped-kernel lhs-dilated formulation stays as the fallback for
+  geometries whose parity offsets aren't symmetric;
+* the zb plan targets ``64 // C`` rather than 128 lanes — the recurrent
+  family is FLOP-heavy at its mid channels, so full-lane packing loses to
+  its own x zb FLOP inflation (measured sweep in :func:`zb_for`);
+* skips join at equal spatial sizes (x/y divisible by 4 is required — the
+  builder falls back to the plain ``model.apply`` otherwise, as for any
+  non-default geometry).
+
+Measured (v5e, 256^2 x 10, 10 timesteps, bf16, B=1): plain ``nn.scan``
+912.7 ms/vol = 0.72 MVx/s; packed+subpixel plan (5,2,2) 397.6 ms =
+1.65 MVx/s (2.3x); the packed program runs ~29% MXU — at XLA's conv-codegen
+ceiling on this chip (BASELINE.md roofline), so further gains come from
+batching volumes, not formulation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from hcunet_tpu.config import RUNetConfig
+from hcunet_tpu.infer.compile import (
+    _Packed,
+    _tile_bias,
+    conv_packed,
+    pack_conv_weights,
+    pack_volume,
+    repack,
+    unpack_volume,
+)
+from hcunet_tpu.ops.conv import fold_bn_into_conv
+
+
+def zb_for(c: int, z: int, cap: int = 10) -> int:
+    """The divisor of ``z`` (≤ cap) closest to ``64 // c`` lanes-worth of
+    packing (preferring the smaller on ties).
+
+    Unlike the valid-conv U-Net (whose zb plan aims lanes at ~128,
+    compile.py:default_zb_plan), the recurrent family is FLOP-heavy at its
+    mid/deep channels — packed FLOPs inflate ~x zb, so the sweet spot sits
+    lower.  v5e sweep on 256^2 x 10, T=10 (scripts/probe_recurrent_packed):
+    plan (10,5,2) [128-lane rule] 0.81 MVx/s, (2,2,2) 1.45, (5,2,2) 1.58,
+    (2,5,2) 1.00, (1,2,2) 0.85 — the 64//c rule picks (5,2,1)."""
+    divs = [d for d in range(1, min(z, cap) + 1) if z % d == 0]
+    target = max(1, 64 // c)
+    return min(divs, key=lambda d: (abs(d - target), d))
+
+
+def _fold_same_conv(p: Dict, s: Dict):
+    """SameConvBNRelu params+stats -> (folded w, folded b) float32."""
+    w = jnp.asarray(p["kernel"], jnp.float32)
+    b = jnp.asarray(p["bias"], jnp.float32)
+    bn = p["BatchNorm_0"]
+    w_f, b_f = fold_bn_into_conv(
+        w, b,
+        jnp.asarray(bn["scale"], jnp.float32),
+        jnp.asarray(bn["bias"], jnp.float32),
+        jnp.asarray(s["BatchNorm_0"]["mean"], jnp.float32),
+        jnp.asarray(s["BatchNorm_0"]["var"], jnp.float32),
+    )
+    return np.asarray(w_f, np.float32), np.asarray(b_f, np.float32)
+
+
+def _pack_same(w: np.ndarray, b: np.ndarray, zb: int) -> Dict:
+    """Pack one same-padding conv (torch padding = (k-1)/2 on every axis)."""
+    kz = w.shape[2]
+    wp, kzb, nbl = pack_conv_weights(w, zb, z_shift=-((kz - 1) // 2))
+    return dict(
+        wp=wp, kzb=kzb, nbl=nbl, kz=kz, cout=w.shape[-1],
+        bias=_tile_bias(b, zb),
+        pad_xy=((w.shape[0] - 1) // 2, (w.shape[1] - 1) // 2),
+    )
+
+
+def _pack_tconv(w_up: np.ndarray, b_up: np.ndarray, zb: int, pad: int) -> Dict:
+    """Pack a torch ConvTranspose (stride (2,2,1), padding ``pad``) as a
+    flipped-kernel lhs-dilated conv (z stays same-extent)."""
+    kx, ky, kz = w_up.shape[:3]
+    w_f = np.ascontiguousarray(np.asarray(w_up, np.float32)[::-1, ::-1, ::-1])
+    wp, kzb, nbl = pack_conv_weights(w_f, zb, z_shift=-(kz - 1 - pad))
+    return dict(
+        wp=wp, kzb=kzb, nbl=nbl, kz=kz, cout=w_up.shape[-1],
+        bias=_tile_bias(b_up, zb),
+        pad_xy=(kx - 1 - pad, ky - 1 - pad),
+        lhs_dilation=(2, 2),
+    )
+
+
+def _subpixel_taps(k: int, pad: int, parity: int):
+    """Tap indices of one output parity of a stride-2 transpose conv.
+
+    ``y[2m+r] = sum_j x[m + off_j] * w[k-1-t_j]`` where
+    ``t_j = ((q - r) % 2) + 2j``, ``q = k-1-pad``, ``off_j = (r+t_j-q)//2``.
+    Returns (w indices ``k-1-t_j`` in conv order, symmetric pad) or None
+    when the offsets aren't symmetric (fall back to lhs_dilation)."""
+    q = k - 1 - pad
+    t0 = (q - parity) % 2
+    taps = list(range(t0, k, 2))
+    offs = [(parity + t - q) // 2 for t in taps]
+    pad_l, pad_r = -offs[0], offs[-1]
+    if pad_l != pad_r or pad_l < 0:
+        return None
+    return [k - 1 - t for t in taps], pad_l
+
+
+def _pack_tconv_subpixel(
+    w_up: np.ndarray, b_up: np.ndarray, zb: int, pad: int
+) -> Optional[Dict]:
+    """The same transpose conv as 4 parity convs + interleave.
+
+    ``lhs_dilation`` convs execute stride_x*stride_y = 4x their useful
+    FLOPs (the dilated zeros are multiplied); for the recurrent family the
+    three per-step T-convs are ~38% of the step FLOPs, so the parity
+    decomposition is the dominant lever (unlike the valid-conv U-Net where
+    it measured slightly worse, compile.py)."""
+    kx, ky, kz = w_up.shape[:3]
+    wn = np.asarray(w_up, np.float32)
+    subs = []
+    pxy = None
+    for rx in (0, 1):
+        row = []
+        for ry in (0, 1):
+            tx = _subpixel_taps(kx, pad, rx)
+            ty = _subpixel_taps(ky, pad, ry)
+            if tx is None or ty is None:
+                return None
+            xi, px = tx
+            yi, py = ty
+            if pxy is None:
+                pxy = (px, py)
+            elif pxy != (px, py):
+                return None
+            sub = wn[np.asarray(xi)][:, np.asarray(yi)]
+            sub = np.ascontiguousarray(sub[:, :, ::-1])  # flip z
+            wp, kzb, nbl = pack_conv_weights(
+                sub, zb, z_shift=-(kz - 1 - pad)
+            )
+            row.append(dict(
+                wp=wp, kzb=kzb, nbl=nbl, kz=kz, cout=w_up.shape[-1],
+                bias=_tile_bias(b_up, zb), pad_xy=(px, py),
+            ))
+        subs.append(row)
+    return dict(subs=subs, cout=w_up.shape[-1])
+
+
+def _run_tconv_subpixel(x: _Packed, e: Dict, dtype) -> _Packed:
+    outs = [
+        [
+            conv_packed(
+                x, s["wp"], s["kzb"], s["nbl"], kz=s["kz"], cout=s["cout"],
+                bias=s["bias"], pad_xy=s["pad_xy"], z_delta=0, dtype=dtype,
+            )
+            for s in row
+        ]
+        for row in e["subs"]
+    ]
+    # interleave parities: out[2m+rx, 2k+ry] = outs[rx][ry][m, k]
+    a = jnp.stack(
+        [jnp.stack([outs[0][0].data, outs[0][1].data], axis=3),
+         jnp.stack([outs[1][0].data, outs[1][1].data], axis=3)],
+        axis=2,
+    )  # [B, Xo, 2, Yo, 2, nb, L]
+    b_, Xo, _, Yo, _, nb, L = a.shape
+    return _Packed(
+        a.reshape(b_, Xo * 2, Yo * 2, nb, L),
+        outs[0][0].zb, e["cout"], outs[0][0].z_len,
+    )
+
+
+def _run_same(x: _Packed, e: Dict, relu: bool, dtype) -> _Packed:
+    return conv_packed(
+        x, e["wp"], e["kzb"], e["nbl"], kz=e["kz"], cout=e["cout"],
+        bias=e["bias"], relu=relu, pad_xy=e["pad_xy"], z_delta=0, dtype=dtype,
+    )
+
+
+def _run_tconv(x: _Packed, e: Dict, dtype) -> _Packed:
+    if "subs" in e:
+        return _run_tconv_subpixel(x, e, dtype)
+    return conv_packed(
+        x, e["wp"], e["kzb"], e["nbl"], kz=e["kz"], cout=e["cout"],
+        bias=e["bias"], pad_xy=e["pad_xy"], lhs_dilation=e["lhs_dilation"],
+        z_delta=0, dtype=dtype,
+    )
+
+
+def _pool_xy(x: _Packed) -> _Packed:
+    d = x.data
+    out = jnp.maximum(d[:, 0::2, 0::2], d[:, 1::2, 0::2])
+    out = jnp.maximum(out, jnp.maximum(d[:, 0::2, 1::2], d[:, 1::2, 1::2]))
+    return _Packed(out, x.zb, x.c, x.z_len)
+
+
+def _repack(x: _Packed, zb: int) -> _Packed:
+    if x.zb == zb:
+        return x
+    return _Packed(repack(x.data, x.zb, zb, x.z_len, x.c), zb, x.c, x.z_len)
+
+
+def _join(a: _Packed, b: _Packed, skip_bug: bool) -> _Packed:
+    """Channel concat at equal spatial sizes (the packed path requires x/y
+    divisible by 4, so the reference's top-left crops are identities); with
+    ``reference_skip_bug`` the skip is replaced by ``a`` itself
+    (``r_unet.py:332``)."""
+    assert a.zb == b.zb and a.spatial() == b.spatial()
+    other = a if skip_bug else b
+    return _Packed(
+        jnp.concatenate([a.data, other.data], axis=-1),
+        a.zb, a.c + other.c, a.z_len,
+    )
+
+
+def compile_recurrent_apply(
+    model,
+    variables: Dict,
+    *,
+    dtype: Any = jnp.bfloat16,
+    zb_cap: int = 10,
+    zb_plan: Optional[tuple] = None,
+    subpixel_tconv: bool = True,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Build the packed inference forward for :class:`RecursiveUNet`.
+
+    Returns ``apply(image[B, X, Y, Z, C]) -> s_T`` (float32), numerically
+    equivalent to ``model.apply(variables, image, train=False)`` up to
+    BN-folding rounding.  Falls back to plain apply for geometries the
+    packer doesn't cover (non-(2,2,1) pool/stride, x/y not divisible by 4).
+    """
+    cfg: RUNetConfig = model.config
+    plain = jax.tree_util.Partial(
+        lambda v, t: model.apply(v, t, train=False), variables
+    )
+    if (
+        tuple(cfg.max_pool_kernel) != (2, 2, 1)
+        or tuple(cfg.upsample_stride) != (2, 2, 1)
+        or any(k % 2 == 0 for k in cfg.kernel)
+    ):
+        return plain
+
+    params = jax.tree.map(np.asarray, variables["params"])["step"]
+    stats = jax.tree.map(np.asarray, variables["batch_stats"])["step"]
+    c0, c1, c2 = cfg.channels
+    skip_bug = bool(getattr(model, "reference_skip_bug", False))
+    up_pad = 2  # RUp/GateBranch hard-wire torch padding=2 (r_unet.py:300)
+
+    def fold_block(scope: str):
+        p = params
+        s = stats
+        for part in scope.split("/"):
+            p = p[part]
+            s = s[part]
+        return [
+            _fold_same_conv(p[f"SameConvBNRelu_{i}"], s[f"SameConvBNRelu_{i}"])
+            for i in (0, 1)
+        ]
+
+    folded = {
+        name: fold_block(name)
+        for name in (
+            "down1", "up2",
+            "fh/down_a", "fh/down_b", "fh/up",
+            "fz/down_a", "fz/down_b", "fz/up",
+        )
+    }
+    tconvs = {
+        name: (
+            np.asarray(_get(params, name)["up_kernel"], np.float32),
+            np.asarray(_get(params, name)["up_bias"], np.float32),
+        )
+        for name in ("fh/up", "fz/up", "up2")
+    }
+    w_out = np.asarray(params["out_kernel"], np.float32)
+    b_out = np.asarray(params["out_bias"], np.float32)
+
+    packed_cache: Dict[int, Dict] = {}
+
+    def packed_for(z: int) -> Dict:
+        if z in packed_cache:
+            return packed_cache[z]
+        if zb_plan is not None:
+            zb0, zb1, zb2 = zb_plan
+            for zb in (zb0, zb1, zb2):
+                if z % zb:
+                    raise ValueError(
+                        f"zb_plan {zb_plan} must divide z={z}"
+                    )
+        else:
+            zb0 = zb_for(c0, z, zb_cap)
+            zb1 = zb_for(c1, z, zb_cap)
+            zb2 = zb_for(c2, z, zb_cap)
+        pk = dict(zb0=zb0, zb1=zb1, zb2=zb2)
+
+        def tconv_entry(name, zb):
+            if subpixel_tconv:
+                e = _pack_tconv_subpixel(*tconvs[name], zb, up_pad)
+                if e is not None:
+                    return e
+            return _pack_tconv(*tconvs[name], zb, up_pad)
+
+        pk["down1"] = [_pack_same(w, b, zb0) for w, b in folded["down1"]]
+        for br in ("fh", "fz"):
+            pk[f"{br}/down_a"] = [
+                _pack_same(w, b, zb1) for w, b in folded[f"{br}/down_a"]
+            ]
+            pk[f"{br}/down_b"] = [
+                _pack_same(w, b, zb2) for w, b in folded[f"{br}/down_b"]
+            ]
+            pk[f"{br}/tconv"] = tconv_entry(f"{br}/up", zb1)
+            pk[f"{br}/up"] = [
+                _pack_same(w, b, zb1) for w, b in folded[f"{br}/up"]
+            ]
+        pk["up2/tconv"] = tconv_entry("up2", zb0)
+        pk["up2"] = [_pack_same(w, b, zb0) for w, b in folded["up2"]]
+        wp, kzb, nbl = pack_conv_weights(w_out, zb0)
+        pk["out"] = dict(
+            wp=wp, kzb=kzb, nbl=nbl, kz=1, cout=cfg.out_channels,
+            bias=_tile_bias(b_out, zb0), pad_xy=(0, 0),
+        )
+        packed_cache[z] = pk
+        return pk
+
+    def gate(x: _Packed, pk: Dict, br: str) -> _Packed:
+        b = x
+        for i, e in enumerate(pk[f"{br}/down_a"]):
+            b = _run_same(b, e, relu=True, dtype=dtype)
+        x = _pool_xy(b)
+        x = _repack(x, pk["zb2"])
+        for e in pk[f"{br}/down_b"]:
+            x = _run_same(x, e, relu=True, dtype=dtype)
+        x = _repack(x, pk["zb1"])
+        x = _run_tconv(x, pk[f"{br}/tconv"], dtype)
+        x = _join(x, b, skip_bug)
+        for e in pk[f"{br}/up"]:
+            x = _run_same(x, e, relu=True, dtype=dtype)
+        return x
+
+    def apply_fn(image: jnp.ndarray) -> jnp.ndarray:
+        B, X, Y, Z, C = image.shape
+        if X % 4 or Y % 4:
+            return plain(image)
+        pk = packed_for(int(Z))
+        zb0, zb1 = pk["zb0"], pk["zb1"]
+
+        img_p = pack_volume(image.astype(dtype), zb0)
+        nb0 = img_p.shape[3]
+        s0 = jnp.zeros(
+            (B, X, Y, nb0, cfg.out_channels * zb0), dtype
+        )
+        nb1 = -(-Z // zb1)
+        h0 = jnp.ones((B, X // 2, Y // 2, nb1, c1 * zb1), dtype)
+
+        def body(carry, _):
+            s_d, h_d = carry
+            x = _Packed(
+                jnp.concatenate([img_p, s_d], axis=-1),
+                zb0, C + cfg.out_channels, Z,
+            )
+            for e in pk["down1"]:
+                x = _run_same(x, e, relu=True, dtype=dtype)
+            a = x
+            x = _pool_xy(x)
+            x = _repack(x, zb1)
+            h = jnp.tanh(gate(x, pk, "fh").data)
+            z = jax.nn.sigmoid(gate(x, pk, "fz").data)
+            h_new = h_d * z + (-1.0 * z * h)  # r_unet.py:155, verbatim
+            x = _Packed(h_new, zb1, c1, Z)
+            x = _repack(x, zb0)
+            x = _run_tconv(x, pk["up2/tconv"], dtype)
+            x = _join(x, a, skip_bug)
+            for e in pk["up2"]:
+                x = _run_same(x, e, relu=True, dtype=dtype)
+            x = conv_packed(
+                x, pk["out"]["wp"], pk["out"]["kzb"], pk["out"]["nbl"],
+                kz=1, cout=cfg.out_channels, bias=pk["out"]["bias"],
+                z_delta=0, dtype=dtype,
+            )
+            return (x.data, h_new.astype(dtype)), None
+
+        (s_T, _h_T), _ = lax.scan(
+            body, (s0, h0), None, length=cfg.timesteps
+        )
+        out = unpack_volume(s_T, zb0, Z, cfg.out_channels)
+        return out.astype(jnp.float32)
+
+    return apply_fn
+
+
+def _get(tree: Dict, path: str) -> Dict:
+    for part in path.split("/"):
+        tree = tree[part]
+    return tree

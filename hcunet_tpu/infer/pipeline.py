@@ -181,16 +181,25 @@ def analyze(
         dispatch_cell_candidates,
     )
 
+    import jax
+
+    @jax.jit
+    def _normalize_dev(raw):
+        return (raw - mean.astype(np.float32)) / std.astype(np.float32)
+
     def _dispatch_chunk(item):
         """Host→device upload (ONCE per chunk) + async dispatch of both
         device stages.  The detector's channels are sliced on device from
         the same buffer — the round-2 pipeline paid the transfer tax twice
         (detection channels at ``pipeline.py:176``, the full chunk again at
-        ``:193``, VERDICT r2 weak #2)."""
+        ``:193``, VERDICT r2 weak #2) — and the normalize runs on device
+        (host numpy cost 2.2 s/chunk on the 1-cpu bench container)."""
         chunk_id, cx0, cx1, cy0, cy1, part_path, cells_path = item
         chunk = volume[cx0:cx1, cy0:cy1]
-        norm = ((chunk - mean) / std).astype(np.float32)  # [X, Y, Z, C]
-        dev = jnp.asarray(norm[None], jnp.float32)  # the one H2D transfer
+        raw = jnp.asarray(
+            np.ascontiguousarray(chunk, np.float32)[None]
+        )  # the one H2D transfer
+        dev = _normalize_dev(raw)  # [1, X, Y, Z, C] on device
 
         det_pending = None
         if detector is not None:
@@ -201,7 +210,7 @@ def analyze(
                 )
 
         with _staged("unet"):
-            Xc = norm.shape[0]
+            Xc = chunk.shape[0]
             quantum = (
                 n_shards * int(cfg.tiles.eval_size[0])
                 if sharded_seg is not None else 0

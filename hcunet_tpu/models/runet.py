@@ -153,15 +153,6 @@ class RUNetStep(nn.Module):
         image, s_t, h_t = carry
         spatial = image.shape[1:-1]
 
-        if s_t.shape[1:-1] != spatial:
-            # odd xy sizes lose a pixel through pool->upsample; the reference
-            # simply crashes there (torch cat shape mismatch at t=1) —
-            # zero-pad the state back instead. Identity for even sizes.
-            widths = [(0, 0)] + [
-                (0, s - c) for s, c in zip(spatial, s_t.shape[1:-1])
-            ] + [(0, 0)]
-            s_t = jnp.pad(s_t, widths)
-
         x = jnp.concatenate([image.astype(self.dtype), s_t], axis=-1)
         x = RDown(c0, cfg.kernel, self.dtype, name="down1")(x, self.train)
         a = x
@@ -198,6 +189,15 @@ class RUNetStep(nn.Module):
             x.astype(self.dtype), out_w.astype(self.dtype), out_b, padding=0,
             accum_dtype=self.dtype,
         )
+        if x.shape[1:-1] != spatial:
+            # odd xy sizes lose a pixel through pool->upsample; the reference
+            # simply crashes there (torch cat shape mismatch at t=1) —
+            # zero-pad the state back instead so the scan carry keeps one
+            # type. Identity for even sizes.
+            widths = [(0, 0)] + [
+                (0, s - c) for s, c in zip(spatial, x.shape[1:-1])
+            ] + [(0, 0)]
+            x = jnp.pad(x, widths)
         return (image, x, h_t.astype(self.dtype)), x
 
 

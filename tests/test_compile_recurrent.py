@@ -1,0 +1,126 @@
+"""Packed serving compiler parity for the recurrent family
+(infer/compile_recurrent.py).
+
+``RecursiveUNet``'s scan body is restructured (BN folding, z-block lane
+packing with z-divisor blocks, packed same-pad convs and transpose convs);
+these tests pin it to the plain ``model.apply``.  f32 must match to
+float-rounding; bf16 drifts through the 10-step tanh/sigmoid recurrence
+(each step amplifies rounding), so it is only sanity-bounded relative to
+the plain bf16 model, which drifts the same way.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hcunet_tpu.config import RUNetConfig
+from hcunet_tpu.infer.compile_recurrent import compile_recurrent_apply, zb_for
+from hcunet_tpu.models.runet import RecursiveUNet
+
+
+def _parity(cfg, shape, atol=5e-5, skip_bug=False, dtype=jnp.float32):
+    model = RecursiveUNet(cfg, reference_skip_bug=skip_bug)
+    x = jax.random.normal(
+        jax.random.PRNGKey(0), (1, *shape, cfg.in_channels), jnp.float32
+    )
+    variables = model.init(jax.random.PRNGKey(1), x, train=False)
+    want = model.apply(variables, x, train=False)
+    got = compile_recurrent_apply(model, variables, dtype=dtype)(x)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=atol)
+    return model, variables, x, want
+
+
+def test_zb_for_divisors_only():
+    for z in (5, 6, 10, 12):
+        for c in (9, 16, 32, 64):
+            zb = zb_for(c, z)
+            assert z % zb == 0, (z, c, zb)
+    # the measured 64//c rule (see zb_for docstring for the v5e sweep)
+    assert zb_for(16, 6) == 3  # target 4 -> nearest divisor of 6
+    assert zb_for(32, 6) == 2
+    assert zb_for(64, 10) == 1
+    assert zb_for(16, 10) == 5
+
+
+def test_recurrent_parity_default_config():
+    """Production RUNet geometry (channels 16/32/64, k=3, up (6,6,5))."""
+    _parity(RUNetConfig(timesteps=3), (32, 32, 6))
+
+
+def test_recurrent_parity_ten_timesteps():
+    _parity(RUNetConfig(timesteps=10), (16, 16, 5), atol=2e-4)
+
+
+def test_recurrent_parity_skip_bug():
+    _parity(RUNetConfig(timesteps=2), (16, 16, 6), skip_bug=True)
+
+
+def test_recurrent_parity_fused_tconv():
+    """The lhs_dilation T-conv path (subpixel decomposition off)."""
+    cfg = RUNetConfig(timesteps=2)
+    model = RecursiveUNet(cfg)
+    x = jax.random.normal(
+        jax.random.PRNGKey(0), (1, 16, 16, 6, cfg.in_channels), jnp.float32
+    )
+    variables = model.init(jax.random.PRNGKey(1), x, train=False)
+    want = model.apply(variables, x, train=False)
+    got = compile_recurrent_apply(
+        model, variables, dtype=jnp.float32, subpixel_tconv=False
+    )(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
+
+
+def test_recurrent_parity_explicit_plan():
+    cfg = RUNetConfig(timesteps=2)
+    model = RecursiveUNet(cfg)
+    x = jax.random.normal(
+        jax.random.PRNGKey(0), (1, 16, 16, 10, cfg.in_channels), jnp.float32
+    )
+    variables = model.init(jax.random.PRNGKey(1), x, train=False)
+    want = model.apply(variables, x, train=False)
+    got = compile_recurrent_apply(
+        model, variables, dtype=jnp.float32, zb_plan=(5, 2, 2)
+    )(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
+    with pytest.raises(ValueError):
+        compile_recurrent_apply(
+            model, variables, dtype=jnp.float32, zb_plan=(4, 2, 2)
+        )(x)
+
+
+def test_recurrent_parity_z_indivisible_by_lane_target():
+    """z=7 (prime): zb falls back to 7 or 1 — both must stay exact."""
+    _parity(RUNetConfig(timesteps=2), (16, 16, 7))
+
+
+def test_recurrent_bf16_tracks_plain_bf16():
+    """bf16 drift comes from the recurrence, not the packing: the packed
+    bf16 output must sit within a few x of the plain model's own bf16
+    drift from f32."""
+    cfg = RUNetConfig(timesteps=10)
+    model = RecursiveUNet(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 6, cfg.in_channels))
+    variables = model.init(jax.random.PRNGKey(1), x, train=False)
+    ref32 = model.apply(variables, x, train=False)
+    plain16 = RecursiveUNet(cfg, dtype=jnp.bfloat16).apply(
+        variables, x, train=False
+    )
+    packed16 = compile_recurrent_apply(model, variables, dtype=jnp.bfloat16)(x)
+    plain_drift = float(jnp.abs(ref32 - plain16.astype(jnp.float32)).max())
+    packed_drift = float(jnp.abs(ref32 - packed16).max())
+    assert packed_drift < max(4.0 * plain_drift, 0.05), (
+        packed_drift, plain_drift
+    )
+
+
+def test_recurrent_fallback_odd_xy():
+    """x/y not divisible by 4 -> plain apply (bit-identical)."""
+    cfg = RUNetConfig(timesteps=2)
+    model = RecursiveUNet(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 18, 18, 6, cfg.in_channels))
+    variables = model.init(jax.random.PRNGKey(1), x, train=False)
+    got = compile_recurrent_apply(model, variables)(x)
+    want = model.apply(variables, x, train=False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -36,6 +36,39 @@ REF_EVAL = [300, 300, 15]
 REF_PAD = (128, 128, 10)
 
 
+def _torch_reference_prob_cached(net, variables, vol_norm: np.ndarray) -> np.ndarray:
+    """Disk-cached wrapper: the torch tile loop costs ~21 min on this 1-cpu
+    host and its output is a pure function of (weights, scene, geometry) —
+    cache it keyed by exactly those.  Any change to the trained weights or
+    the scene invalidates the cache, so the gate's force is unchanged; only
+    repeat runs of the identical comparison are fast."""
+    import hashlib
+
+    from hcunet_tpu.utils.cache import enable_compilation_cache
+
+    leaves = jax.tree_util.tree_leaves(variables)
+    h = hashlib.sha1()
+    for leaf in leaves:
+        h.update(np.ascontiguousarray(np.asarray(leaf, np.float32)).tobytes())
+    h.update(np.ascontiguousarray(vol_norm).tobytes())
+    h.update(str((REF_EVAL, REF_PAD)).encode())
+    cache_root = enable_compilation_cache()
+    path = None
+    if cache_root is not None:
+        import os
+
+        path = os.path.join(
+            os.path.dirname(cache_root), f"dice_gate_{h.hexdigest()[:16]}.npz"
+        )
+        if os.path.exists(path):
+            with np.load(path) as z:
+                return z["prob"]
+    prob = _torch_reference_prob(net, vol_norm)
+    if path is not None:
+        np.savez_compressed(path, prob=prob)
+    return prob
+
+
 def _torch_reference_prob(net, vol_norm: np.ndarray) -> np.ndarray:
     """The reference's tiled ``predict_segmentation_mask`` (CPU geometry) —
     reflection pad, ragged grid, per-tile forward, in-place sigmoid."""
@@ -173,7 +206,7 @@ def test_pipeline_dice_vs_torch_reference_composition():
     )
 
     # --- reference composition (torch forward, ragged grid, host blur) ---
-    prob_ref = _torch_reference_prob(net, vol_norm)
+    prob_ref = _torch_reference_prob_cached(net, variables, vol_norm)
     post_ref = _postprocess_host(prob_ref)
 
     # --- framework production path (packed forward, uniform grid, fused
