@@ -109,6 +109,13 @@ def generate_cell_objects(
     max_id = int(unique_mask.max())
     if max_id == 0:
         return cells
+    # integer stacks stay raw until here (they cross the device tunnel at
+    # their native width); rescale to [0,1] at crop granularity — only the
+    # boxed voxels pay the conversion, not the whole chunk
+    int_scale = (
+        float(np.iinfo(image.dtype).max)
+        if np.issubdtype(image.dtype, np.integer) else None
+    )
     slices = ndi.find_objects(unique_mask, max_label=max_id)
     for label_id, slc in enumerate(slices, start=1):
         if slc is None:
@@ -120,6 +127,8 @@ def generate_cell_objects(
         z0, z1 = zs.start, zs.stop - 1
         mask_crop = unique_mask[x0:x1, y0:y1, z0:z1] == label_id
         img_crop = image[x0:x1, y0:y1, z0:z1, :]
+        if int_scale is not None:
+            img_crop = img_crop.astype(np.float32) / int_scale
         center = [
             x0 + (x1 - x0) / 2 + x_ind_chunk,
             y0 + (y1 - y0) / 2 + y_ind_chunk,

@@ -120,7 +120,10 @@ def _blob_scene(X, Y, Z, n_cells, seed=0):
     vol = np.stack(
         [prob * s for s in (0.9, 1.0, 0.95, 0.9)], axis=-1
     ) + rng.normal(0, 0.01, (X, Y, Z, 4)).astype(np.float32)
-    return vol.clip(0, 1).astype(np.float32), prob
+    # uint16, like the production confocal TIFFs — the pipeline ships
+    # integer stacks across the device tunnel at native width
+    vol16 = (vol.clip(0, 1) * 65535.0 + 0.5).astype(np.uint16)
+    return vol16, prob
 
 
 def _fit_unet_to_scene(model, variables, vol, truth, steps=40):
@@ -160,7 +163,11 @@ def _fit_unet_to_scene(model, variables, vol, truth, steps=40):
                     jax.tree.map(np.asarray, variables), f.read()
                 )
 
-    x = jnp.asarray(((vol[:256, :256] - 0.5) / 0.5)[None], jnp.float32)
+    volf = (
+        vol.astype(np.float32) / np.iinfo(vol.dtype).max
+        if np.issubdtype(vol.dtype, np.integer) else vol
+    )
+    x = jnp.asarray(((volf[:256, :256] - 0.5) / 0.5)[None], jnp.float32)
     y = jnp.asarray((truth[:256, :256] > 0.3)[None, ..., None].astype(np.float32))
     params, batch_stats = variables["params"], variables["batch_stats"]
     tx = optax.adam(3e-3)

@@ -32,6 +32,11 @@ class DetectionTrainConfig:
     epochs: int = 5000
     classifier_scale: float = 3.0  # train_rcnn.py:64 'scale'
     max_gt: int = 64  # static padding for ground-truth boxes
+    # Alternative schedule (beyond the reference's ExponentialLR): linear
+    # warmup to ``learning_rate`` then cosine decay over ``total_steps``.
+    schedule: str = "exp"  # "exp" | "cosine"
+    warmup_steps: int = 0
+    total_steps: int = 0  # required for schedule="cosine"
 
 
 class DetectionTrainer:
@@ -45,12 +50,22 @@ class DetectionTrainer:
         self.det = detector
         self.cfg = cfg
         self.variables = variables
-        sched = optax.exponential_decay(
-            cfg.learning_rate,
-            transition_steps=max(steps_per_epoch, 1),
-            decay_rate=cfg.gamma,
-            staircase=True,
-        )
+        if cfg.schedule == "cosine":
+            if cfg.total_steps <= 0:
+                raise ValueError("schedule='cosine' requires total_steps > 0")
+            sched = optax.warmup_cosine_decay_schedule(
+                init_value=0.0,
+                peak_value=cfg.learning_rate,
+                warmup_steps=max(cfg.warmup_steps, 1),
+                decay_steps=cfg.total_steps,
+            )
+        else:
+            sched = optax.exponential_decay(
+                cfg.learning_rate,
+                transition_steps=max(steps_per_epoch, 1),
+                decay_rate=cfg.gamma,
+                staircase=True,
+            )
         self.tx = optax.adamw(sched, weight_decay=cfg.weight_decay)
         self.opt_state = self.tx.init(self._params())
         self.metrics = Metrics()
