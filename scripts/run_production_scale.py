@@ -1,0 +1,152 @@
+"""Production-scale proof: multi-gigavoxel analyze() + crash-resume.
+
+VERDICT r2 next-step #7 — the reference's production driver loops whole
+cochleae at numchunks=6 (``/root/reference/loop_main.py:18-72``).  This
+runs a 6144²x20 uint16 synthetic cochlea (755 MVx, ~6 GB raw) through
+``analyze()`` on the real TPU with the production chunking, records wall
+time / throughput / peak host RSS, then demonstrates journal resumability
+by SIGKILLing a fresh run mid-flight and re-running it to completion in
+the same work_dir (chunks already spilled must be skipped).
+
+Usage:
+  python -u scripts/run_production_scale.py            # orchestrator
+  python -u scripts/run_production_scale.py --worker DIR   # one analyze run
+"""
+
+import os
+import re
+import resource
+import signal
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SHAPE = (6144, 6144, 20)
+N_CELLS = 2500
+NUMCHUNKS = 6
+
+
+def worker(work_dir: str) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from hcunet_tpu.benchmarks import _blob_scene, _fit_unet_to_scene
+    from hcunet_tpu.config import PipelineConfig, UNetConfig, auto_tile_config
+    from hcunet_tpu.infer.compile import compile_serving_apply
+    from hcunet_tpu.infer.pipeline import analyze
+    from hcunet_tpu.models.detection import Detector
+    from hcunet_tpu.models.unet import init_unet
+    from hcunet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    t0 = time.perf_counter()
+    vol, truth = _blob_scene(*SHAPE, n_cells=N_CELLS)
+    print(f"scene built in {time.perf_counter() - t0:.0f}s "
+          f"({vol.nbytes / 1e9:.1f} GB {vol.dtype})", flush=True)
+
+    ucfg = UNetConfig.production_3d()
+    model, variables = init_unet(
+        ucfg, jax.random.PRNGKey(0), input_spatial=(140, 140, 10),
+        dtype=jnp.bfloat16,
+    )
+    variables = _fit_unet_to_scene(model, variables, vol, truth)
+    unet_apply = jax.tree_util.Partial(
+        compile_serving_apply(model, variables, dtype=jnp.bfloat16)
+    )
+    det = Detector(dtype=jnp.bfloat16)
+    det_vars = det.init(jax.random.PRNGKey(1), (512, 512))
+    cfg = PipelineConfig(
+        numchunks=NUMCHUNKS, unet=ucfg, tiles=auto_tile_config(ucfg)
+    )
+    print("starting analyze", flush=True)
+    t0 = time.perf_counter()
+    res = analyze(
+        volume=vol, unet_apply=unet_apply, detector=det,
+        detector_variables=det_vars, cfg=cfg, work_dir=work_dir,
+        fit_cochlea=True,
+    )
+    dt = time.perf_counter() - t0
+    mvx = SHAPE[0] * SHAPE[1] * SHAPE[2] / 1e6
+    print(
+        f"ANALYZE_DONE wall={dt:.1f}s mvx_s={mvx / dt:.3f} "
+        f"cells={len(res.cells)} labels={int(res.unique_mask.max())} "
+        f"stages={ {k: round(v, 1) for k, v in (res.stage_seconds or {}).items()} }",
+        flush=True,
+    )
+
+
+def run_child(work_dir, kill_after=None):
+    cmd = [sys.executable, "-u", os.path.abspath(__file__), "--worker", work_dir]
+    t0 = time.perf_counter()
+    p = subprocess.Popen(
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    lines = []
+    killed = False
+    analyze_t0 = None
+    while True:
+        line = p.stdout.readline()
+        if not line:
+            if p.poll() is not None:
+                break
+            continue
+        lines.append(line.rstrip())
+        if not re.search(r"WARNING|INFO.*axon", line):
+            print("  |", line.rstrip(), flush=True)
+        if "starting analyze" in line:
+            analyze_t0 = time.perf_counter()
+        if (kill_after is not None and analyze_t0 is not None
+                and time.perf_counter() - analyze_t0 > kill_after):
+            print(f"  ** SIGKILL after {kill_after}s of analyze", flush=True)
+            p.send_signal(signal.SIGKILL)
+            killed = True
+            kill_after = None
+    p.wait()
+    rss_gb = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss / 1e6
+    return dict(
+        wall=time.perf_counter() - t0, rc=p.returncode, killed=killed,
+        out="\n".join(lines), rss_gb=rss_gb,
+    )
+
+
+def main():
+    if "--worker" in sys.argv:
+        worker(sys.argv[sys.argv.index("--worker") + 1])
+        return
+    work = "/tmp/hcunet_production_scale"
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+
+    print("=== phase 1: fresh run, SIGKILL mid-analyze ===", flush=True)
+    r1 = run_child(work, kill_after=200)
+    done1 = len(re.findall(r"done: \d+ cells", r1["out"]))
+    print(f"phase1: rc={r1['rc']} killed={r1['killed']} "
+          f"chunks_done={done1} rss={r1['rss_gb']:.1f}GB", flush=True)
+
+    print("=== phase 2: resume in same work_dir ===", flush=True)
+    r2 = run_child(work)
+    skipped = len(re.findall(r"cached — skipping", r2["out"]))
+    m = re.search(r"ANALYZE_DONE wall=([\d.]+)s mvx_s=([\d.]+) cells=(\d+)",
+                  r2["out"])
+    print(
+        f"phase2: rc={r2['rc']} resumed_chunks_skipped={skipped} "
+        f"(expected ~{done1}) wall={r2['wall']:.0f}s rss={r2['rss_gb']:.1f}GB",
+        flush=True,
+    )
+    if m:
+        print(f"RESULT analyze_wall={m.group(1)}s mvx_s={m.group(2)} "
+              f"cells={m.group(3)} chunks_skipped_on_resume={skipped}",
+              flush=True)
+    assert r1["killed"] and r1["rc"] != 0, "phase 1 should have been killed"
+    assert r2["rc"] == 0, "resume run failed"
+    assert skipped >= max(1, done1 - 1), "journal resume did not skip chunks"
+    print("production-scale crash-resume: OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

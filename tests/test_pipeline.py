@@ -70,6 +70,33 @@ def test_analyze_end_to_end(tmp_path, tiny_models, rng):
     assert os.path.exists(tmp_path / "work" / "cells.csv")
 
 
+def test_analyze_uint16_matches_float(tmp_path, tiny_models, rng):
+    """Integer volumes ride the tunnel raw and rescale on device; the
+    result must match the same volume pre-converted to [0,1] float."""
+    unet_cfg, unet_apply, det, det_vars = tiny_models
+    vol16 = (rng.random((64, 64, 6, 4)) * 65535).astype(np.uint16)
+    volf = vol16.astype(np.float32) / 65535.0
+    results = []
+    for name, vol in (("u16", vol16), ("f32", volf)):
+        results.append(
+            analyze(
+                volume=vol, unet_apply=unet_apply, detector=det,
+                detector_variables=det_vars, cfg=_pipeline_cfg(unet_cfg),
+                work_dir=str(tmp_path / name), fit_cochlea=False,
+            )
+        )
+    a, b = results
+    # device normalize: (x/65535 - mean)/std vs (xf - mean)/std — identical
+    # math up to f32 rounding of the division, so masks must agree
+    np.testing.assert_allclose(a.mask, b.mask, atol=1e-3)
+    assert (a.unique_mask == b.unique_mask).mean() > 0.999
+    assert len(a.cells) == len(b.cells)
+    for ca, cb in zip(a.cells, b.cells):
+        # intensity stats come from the raw chunk, rescaled at crop
+        # granularity for the integer path
+        assert abs(ca.gfp_stats["mean"] - cb.gfp_stats["mean"]) < 1e-4
+
+
 def test_analyze_resumes_from_journal(tmp_path, tiny_models, rng):
     unet_cfg, unet_apply, det, det_vars = tiny_models
     volume = rng.random((64, 64, 6, 4)).astype(np.float32)
