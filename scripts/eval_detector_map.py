@@ -187,6 +187,10 @@ def main():
 
     import jax
 
+    from hcunet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from hcunet_tpu.analysis.detection_metrics import evaluate_detections
     from hcunet_tpu.config import DetectorConfig
     from hcunet_tpu.models.detection import Detector
