@@ -136,10 +136,39 @@ def _label_ious(a: np.ndarray, b: np.ndarray):
 def _train_briefly(model, variables, vol_norm, target, steps=50):
     """A few Adam steps of pwl-BCE on the scene so the probability map has
     real peaks/basins (random weights give plateau noise whose watershed
-    lines are numerically unstable — meaningless for a parity gate)."""
+    lines are numerically unstable — meaningless for a parity gate).
+
+    Disk-cached like the torch prob map: the result is a pure function of
+    (init variables, scene, steps) — on this 1-cpu host the 50 steps cost
+    ~8 min, the dominant share of the gate after the torch cache landed.
+    Any change to the init, scene or budget invalidates the key."""
+    import hashlib
+    import os
+
     import optax
 
     from hcunet_tpu.train.losses import cross_entropy
+    from hcunet_tpu.utils.cache import enable_compilation_cache
+
+    h = hashlib.sha1()
+    for leaf in jax.tree_util.tree_leaves(variables):
+        h.update(np.ascontiguousarray(np.asarray(leaf, np.float32)).tobytes())
+    h.update(np.ascontiguousarray(vol_norm).tobytes())
+    h.update(str(steps).encode())
+    cache_root = enable_compilation_cache()
+    path = None
+    if cache_root is not None:
+        path = os.path.join(
+            os.path.dirname(cache_root),
+            f"dice_fit_{h.hexdigest()[:16]}.msgpack",
+        )
+        if os.path.exists(path):
+            from flax import serialization
+
+            with open(path, "rb") as f:
+                return serialization.from_bytes(
+                    jax.tree.map(np.asarray, variables), f.read()
+                )
 
     x = jnp.asarray(vol_norm[None, 16:144, 16:144, :, :])
     y = jnp.asarray(target[None, 16:144, 16:144, :, None].astype(np.float32))
@@ -164,7 +193,13 @@ def _train_briefly(model, variables, vol_norm, target, steps=50):
 
     for _ in range(steps):
         params, batch_stats, opt_state, loss = step(params, batch_stats, opt_state)
-    return {"params": params, "batch_stats": batch_stats}
+    fitted = {"params": params, "batch_stats": batch_stats}
+    if path is not None:
+        from flax import serialization
+
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(jax.tree.map(np.asarray, fitted)))
+    return fitted
 
 
 def test_pipeline_dice_vs_torch_reference_composition():
