@@ -23,9 +23,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SHAPE = (6144, 6144, 20)
-N_CELLS = 2500
-NUMCHUNKS = 6
+SHAPE = tuple(
+    int(v) for v in os.environ.get("HCUNET_PROD_SHAPE", "6144,6144,20").split(",")
+)
+N_CELLS = int(os.environ.get("HCUNET_PROD_CELLS", "2500"))
+NUMCHUNKS = int(os.environ.get("HCUNET_PROD_CHUNKS", "6"))
+KILL_AFTER = float(os.environ.get("HCUNET_PROD_KILL_AFTER", "200"))
 
 
 def worker(work_dir: str) -> None:
@@ -78,6 +81,8 @@ def worker(work_dir: str) -> None:
 
 
 def run_child(work_dir, kill_after=None):
+    import threading
+
     cmd = [sys.executable, "-u", os.path.abspath(__file__), "--worker", work_dir]
     t0 = time.perf_counter()
     p = subprocess.Popen(
@@ -85,8 +90,16 @@ def run_child(work_dir, kill_after=None):
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     lines = []
-    killed = False
-    analyze_t0 = None
+    state = {"killed": False}
+    timer = None
+
+    def _kill():
+        print(f"  ** SIGKILL after {kill_after}s of analyze", flush=True)
+        state["killed"] = True
+        p.send_signal(signal.SIGKILL)
+
+    # reader loop; the kill timer is armed when analyze starts so it fires
+    # on wall time, not on output flow (readline blocks between log lines)
     while True:
         line = p.stdout.readline()
         if not line:
@@ -96,15 +109,13 @@ def run_child(work_dir, kill_after=None):
         lines.append(line.rstrip())
         if not re.search(r"WARNING|INFO.*axon", line):
             print("  |", line.rstrip(), flush=True)
-        if "starting analyze" in line:
-            analyze_t0 = time.perf_counter()
-        if (kill_after is not None and analyze_t0 is not None
-                and time.perf_counter() - analyze_t0 > kill_after):
-            print(f"  ** SIGKILL after {kill_after}s of analyze", flush=True)
-            p.send_signal(signal.SIGKILL)
-            killed = True
-            kill_after = None
+        if "starting analyze" in line and kill_after is not None and timer is None:
+            timer = threading.Timer(kill_after, _kill)
+            timer.start()
     p.wait()
+    if timer is not None:
+        timer.cancel()
+    killed = state["killed"]
     rss_gb = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss / 1e6
     return dict(
         wall=time.perf_counter() - t0, rc=p.returncode, killed=killed,
@@ -123,7 +134,7 @@ def main():
     os.makedirs(work, exist_ok=True)
 
     print("=== phase 1: fresh run, SIGKILL mid-analyze ===", flush=True)
-    r1 = run_child(work, kill_after=200)
+    r1 = run_child(work, kill_after=KILL_AFTER)
     done1 = len(re.findall(r"done: \d+ cells", r1["out"]))
     print(f"phase1: rc={r1['rc']} killed={r1['killed']} "
           f"chunks_done={done1} rss={r1['rss_gb']:.1f}GB", flush=True)
