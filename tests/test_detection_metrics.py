@@ -105,3 +105,56 @@ def test_pretrain_backbone_learns_and_seeds_detector():
 
     imgs, labels = synthetic_shapes_batch(np.random.default_rng(0), 4, (48, 48))
     assert imgs.shape == (4, 48, 48, 3) and labels.shape == (4,)
+
+
+def test_cochlea_scene_generator_invariants():
+    """The hardened eval harness (touching OHC rows + IHC row + junk
+    clutter, `scripts/eval_detector_map.py`) must emit in-bounds boxes,
+    both classes, dense OHC rows with touching neighbors, and clutter
+    that carries no ground truth."""
+    import importlib.util
+    import os
+
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location(
+        "eval_detector_map",
+        os.path.join(os.path.dirname(__file__), os.pardir, "scripts",
+                     "eval_detector_map.py"),
+    )
+    h = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(h)
+
+    rng = np.random.default_rng(7)
+    for hw in ((256, 256), (512, 512)):
+        img, boxes, labels = h.cochlea_scene(rng, hw)
+        assert img.shape == (*hw, 3) and img.dtype == np.float32
+        assert img.min() >= 0.0 and img.max() <= 1.0
+        assert len(boxes) == len(labels) > 10
+        assert set(np.unique(labels)) == {1, 2}
+        assert (boxes[:, 0] >= 0).all() and (boxes[:, 1] >= 0).all()
+        assert (boxes[:, 2] <= hw[1]).all() and (boxes[:, 3] <= hw[0]).all()
+        assert (boxes[:, 2] > boxes[:, 0]).all()
+        # OHCs dominate ~3:1 and neighbors touch: for most OHC boxes some
+        # other OHC center lies within 2.4 radii
+        ohc = boxes[labels == 1]
+        assert len(ohc) > 2 * len(boxes[labels == 2])
+        cx = (ohc[:, 0] + ohc[:, 2]) / 2
+        cy = (ohc[:, 1] + ohc[:, 3]) / 2
+        r = (ohc[:, 2] - ohc[:, 0]) / 2
+        d = np.hypot(cx[:, None] - cx[None, :], cy[:, None] - cy[None, :])
+        np.fill_diagonal(d, np.inf)
+        touching = (d.min(axis=1) < 2.4 * r).mean()
+        assert touching > 0.7, touching
+
+    # clutter adds image content but NO boxes: same seed sequence with
+    # clutter off must yield identical ground truth
+    img_a, boxes_a, labels_a = h.cochlea_scene(
+        np.random.default_rng(3), (256, 256), clutter=True
+    )
+    img_b, boxes_b, labels_b = h.cochlea_scene(
+        np.random.default_rng(3), (256, 256), clutter=False
+    )
+    np.testing.assert_array_equal(boxes_a, boxes_b)
+    np.testing.assert_array_equal(labels_a, labels_b)
+    assert not np.allclose(img_a, img_b)  # clutter changed pixels only
