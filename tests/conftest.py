@@ -30,6 +30,15 @@ if REPO_ROOT not in sys.path:
 import numpy as np
 import pytest
 
+# Persistent XLA compile cache: the suite's long pole is whole-model CPU
+# compiles (packed serving program, detector trunk, recurrent scan), which
+# are pure functions of the HLO — cache them across runs like the CLI and
+# bench already do.  First-ever run builds the cache; warm runs skip the
+# compiles without touching any test's assertions.
+from hcunet_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 # Long-running tests (>10 s on this machine, mostly whole-model compiles or
 # training loops) carry the ``slow`` marker so iteration runs can use
 # ``pytest -m 'not slow'`` (~2 min) while full/oracle runs keep everything.
