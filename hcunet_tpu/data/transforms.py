@@ -276,6 +276,13 @@ class nul_crop:
             return image_list
         mask = image_list[1]
         lr = mask.sum(axis=1).sum(axis=1).flatten() > 1
+        if not lr.any():
+            raise ValueError(
+                "nul_crop removed every row: the mask sums below the "
+                "reference's >1 threshold. On-disk masks are expected "
+                "0/255-valued (to_float scales them to 0/1); a 0/1-valued "
+                "mask file lands at 1/255 and crops to nothing."
+            )
         image_list = [im[lr] for im in image_list]
         mask = image_list[1]
         ud = mask.sum(axis=0).sum(axis=1).flatten() > 1

@@ -314,3 +314,51 @@ def test_viz_helpers(rng):
     assert inst[3, 3, 1] == 1
     rgb = labels_to_rgb(inst[..., 1])
     assert rgb.shape == (16, 16, 4)
+
+
+def test_cli_recurrent_train_and_predict_end_to_end(tmp_path, rng):
+    """`hcunet preprocess` -> `train-recurrent` -> `predict-recurrent`:
+    the recurrent family's full product path (targets from color masks,
+    RecursiveStack recipe, checkpoint save/load, packed recurrent
+    serving)."""
+    import os
+
+    from hcunet_tpu.cli import main as cli_main
+    from hcunet_tpu.data.tiff import imwrite
+
+    Z, Y, X = 6, 40, 36
+    img = (rng.random((Z, Y, X, 4)) * 65535).astype(np.uint16)
+    mask = np.zeros((Z, Y, X), np.uint8)
+    mask[:, 8:16, 8:16] = 255  # on-disk masks are 0/255 like the reference's
+    pwl = np.full((Z, Y, X), 40, np.uint8)
+    color = np.zeros((Z, Y, X, 3), np.uint8)
+    color[...] = [10, 10, 10]
+    color[:, 8:16, 8:16] = [200, 0, 0]
+    color[:, 22:30, 20:28] = [0, 200, 0]
+    data = tmp_path / "data"
+    data.mkdir()
+    imwrite(str(data / "s0.tif"), img)
+    imwrite(str(data / "s0.mask.tif"), mask)
+    imwrite(str(data / "s0.pwl.tif"), pwl)
+    imwrite(str(data / "s0.labels.tif"), color)
+
+    assert cli_main(["preprocess", str(data)]) == 0
+    assert (data / "s0.labels.com.tif").exists()
+    assert (data / "s0.labels.vector.pkl").exists()
+
+    ckpt = str(tmp_path / "runet.hcunet")
+    assert cli_main([
+        "train-recurrent", str(data), "--model", "runet", "--out", ckpt,
+        "--epochs", "1", "--crop", "24", "24", "6", "--timesteps", "2",
+    ]) == 0
+    assert os.path.exists(ckpt)
+
+    out_dir = str(tmp_path / "pred")
+    assert cli_main([
+        "predict-recurrent", str(data / "s0.tif"),
+        "--checkpoint", ckpt, "--out-dir", out_dir,
+    ]) == 0
+    out = np.load(os.path.join(out_dir, "s0.recurrent.npy"))
+    # [X, Y, Z, out_channels=5] head stack for the volume
+    assert out.shape == (X, Y, Z, 5)
+    assert np.isfinite(out).all()
