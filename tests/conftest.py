@@ -61,6 +61,7 @@ SLOW_TESTS = {
     "test_fused_postprocess_matches_scipy",
     "test_tiled_threshold_output_uint8",
     "test_readme_2d_quickstart_trains",
+    "test_cli_recurrent_train_and_predict_end_to_end",
     "test_unet_gradient_parity_with_reference",
     "test_matched_sgd_training_trajectory",
     "test_unet_forward_parity_with_reference",
