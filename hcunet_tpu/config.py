@@ -190,6 +190,10 @@ class WatershedConfig:
     distance_floor: float = 0.2
     backend: str = "fused"
     device_iters: int = 96
+    # host threads flooding tiles concurrently (the native op releases the
+    # GIL).  Write-backs stay in tile order, so the output is IDENTICAL at
+    # any worker count.  0 = auto (cpu_count - 1, min 1); 1 = serial.
+    tile_workers: int = 0
 
 
 @dataclass(frozen=True)

@@ -26,6 +26,8 @@ the ``[X, Y, Z]`` volume, which is what
 
 from __future__ import annotations
 
+import os
+
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -223,8 +225,7 @@ def generate_unique_segmentation_mask(
     pad = [pad_x, pad_y]
     expand_z = cfg.expand_z
 
-    for x0, x1 in x_ind:
-        for y0, y1 in y_ind:
+    def _flood_tile(x0, x1, y0, y1):
             tile = semantic[x0:x1, y0:y1, :].astype(np.float64)
 
             if use_prob_map and tile.max() > 1:
@@ -321,7 +322,27 @@ def generate_unique_segmentation_mask(
                 )
             )
             labels[np.isin(labels, edge_ids)] = 0
+            return labels
 
+    tiles = [(x0, x1, y0, y1) for x0, x1 in x_ind for y0, y1 in y_ind]
+    workers = cfg.tile_workers or max(1, (os.cpu_count() or 1) - 1)
+    if workers > 1 and len(tiles) > 1 and cfg.backend != "device":
+        # floods run concurrently (the native op releases the GIL); the
+        # merge below applies results in tile order, so the output is
+        # bit-identical to the serial loop at any worker count
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            futures = [pool.submit(_flood_tile, *tl) for tl in tiles]
+            results = ((tl, f.result()) for tl, f in zip(tiles, futures))
+            for (x0, x1, y0, y1), labels in results:
+                region = unique_mask[x0:x1, y0:y1, :]
+                region[labels > 0] = labels[labels > 0]
+                if progress:
+                    progress(f"watershed tile [{x0}:{x1}, {y0}:{y1}]")
+    else:
+        for x0, x1, y0, y1 in tiles:
+            labels = _flood_tile(x0, x1, y0, y1)
             region = unique_mask[x0:x1, y0:y1, :]
             region[labels > 0] = labels[labels > 0]
             if progress:

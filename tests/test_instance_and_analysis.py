@@ -181,3 +181,43 @@ def test_cochlear_length_on_synthetic_spiral():
     seg = np.sqrt(np.diff(curve[0]) ** 2 + np.diff(curve[1]) ** 2)
     drawn = np.sum(np.sqrt(np.diff(cx) ** 2 + np.diff(cy) ** 2))
     assert 0.3 * drawn < seg.sum() < 2.0 * drawn
+
+
+def test_instance_tile_workers_identical(rng):
+    """Parallel tile flooding (tile_workers > 1) must be bit-identical to
+    the serial loop: floods run concurrently but write-backs stay in tile
+    order."""
+    import dataclasses
+
+    from hcunet_tpu.config import WatershedConfig
+    from hcunet_tpu.infer.instance import generate_unique_segmentation_mask
+
+    X = Y = 600  # small host_ram_bytes keying -> 412^2 tiles -> 2x2 grid
+    Z = 6
+    prob = rng.random((X, Y, Z)).astype(np.float32) * 0.3
+    boxes, zl = [], []
+    for gx in range(5):
+        for gy in range(5):
+            cx, cy = 60 + gx * 110, 60 + gy * 110
+            xx, yy = np.mgrid[0:X, 0:Y].astype(np.float32)
+            g = np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / 500.0)
+            prob += g[..., None] * 6.0
+            boxes.append([cx - 20, cy - 20, cx + 20, cy + 20])
+            zl.append(3)
+    cand = {
+        "boxes": np.asarray(boxes, np.float32),
+        "scores": np.full(len(boxes), 0.9, np.float32),
+        "labels": np.ones(len(boxes), np.int64),
+        "z_level": np.asarray(zl, np.float32),
+    }
+    base = WatershedConfig(expand_mask=2)
+    serial, _ = generate_unique_segmentation_mask(
+        prob, dict(cand), dataclasses.replace(base, tile_workers=1),
+        host_ram_bytes=8 * 2**30,
+    )
+    parallel, _ = generate_unique_segmentation_mask(
+        prob, dict(cand), dataclasses.replace(base, tile_workers=4),
+        host_ram_bytes=8 * 2**30,
+    )
+    assert serial.max() > 0  # non-trivial labeling
+    np.testing.assert_array_equal(serial, parallel)
