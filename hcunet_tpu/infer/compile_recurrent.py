@@ -259,7 +259,8 @@ def compile_recurrent_apply(
         lambda v, t: model.apply(v, t, train=False), variables
     )
     if (
-        tuple(cfg.max_pool_kernel) != (2, 2, 1)
+        not isinstance(cfg, RUNetConfig)  # e.g. RDCNet — plain scan path
+        or tuple(cfg.max_pool_kernel) != (2, 2, 1)
         or tuple(cfg.upsample_stride) != (2, 2, 1)
         or any(k % 2 == 0 for k in cfg.kernel)
     ):
