@@ -125,7 +125,9 @@ def load_legacy_cells(path: str) -> List:
     # Reconstructors legacy HairCell pickles actually need: numpy arrays
     # (cell centers/coords), torch tensors inside signal_stats, and basic
     # container builtins.  Nothing here can be leveraged for code execution
-    # (no os/subprocess/builtins.eval/functools.partial/...).
+    # (no os/subprocess/builtins.eval/functools.partial/...); the one entry
+    # with a nested unpickler (torch.storage._load_from_bytes) is replaced
+    # by a weights-only wrapper below.
     _ALLOWED = {
         ("builtins", "list"), ("builtins", "dict"), ("builtins", "set"),
         ("builtins", "tuple"), ("builtins", "frozenset"),
@@ -139,8 +141,19 @@ def load_legacy_cells(path: str) -> List:
         ("torch._utils", "_rebuild_tensor_v2"),
         ("torch._utils", "_rebuild_tensor"),
         ("torch.serialization", "_get_layout"),
-        ("torch.storage", "_load_from_bytes"),
     }
+
+    def _safe_load_from_bytes(b):
+        # torch.storage._load_from_bytes itself calls torch.load on the
+        # embedded bytes, which would spin up an UNRESTRICTED unpickler on
+        # attacker-controlled data (a nested-gadget bypass of this very
+        # allowlist).  Force the restricted weights-only loader instead —
+        # tensor payloads (all a legacy HairCell carries) still load.
+        import io as _io
+
+        import torch
+
+        return torch.load(_io.BytesIO(bytes(b)), weights_only=True)
     _NUMPY_SCALARS = {
         "bool_", "int8", "int16", "int32", "int64", "uint8", "uint16",
         "uint32", "uint64", "float16", "float32", "float64", "longdouble",
@@ -153,6 +166,8 @@ def load_legacy_cells(path: str) -> List:
                 "haircell", "hcat.haircell", "hcunet_tpu.analysis.haircell",
             ):
                 return _LegacyHairCell
+            if (module, name) == ("torch.storage", "_load_from_bytes"):
+                return _safe_load_from_bytes
             if (module, name) in _ALLOWED:
                 return super().find_class(module, name)
             if module == "numpy" and name in _NUMPY_SCALARS:

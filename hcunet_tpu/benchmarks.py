@@ -150,10 +150,19 @@ def _fit_unet_to_scene(model, variables, vol, truth, steps=40):
     cache_root = enable_compilation_cache()
     fit_cache = None
     if cache_root is not None:
-        key = hashlib.sha1(
+        from hcunet_tpu.config import config_to_dict
+
+        # key includes the model config and a sample of the INIT variables:
+        # a config/init change with unchanged tensor shapes must invalidate
+        # the cached fit, not silently reuse another model's weights
+        h = hashlib.sha1(
             np.ascontiguousarray(vol[::97].ravel()[::397]).tobytes()
             + str((vol.shape, steps)).encode()
-        ).hexdigest()[:16]
+            + str(config_to_dict(model.config)).encode()
+        )
+        for leaf in jax.tree_util.tree_leaves(variables):
+            h.update(np.asarray(leaf, np.float32).ravel()[::53].tobytes())
+        key = h.hexdigest()[:16]
         fit_cache = os.path.join(
             os.path.dirname(cache_root), f"bench_fit_{key}.msgpack"
         )

@@ -89,8 +89,9 @@ def _add_predict_recurrent(sub):
     p = sub.add_parser(
         "predict-recurrent",
         help="run a recurrent checkpoint over a z-stack through the packed "
-        "recurrent serving compiler; writes the probability map (channel 0 "
-        "sigmoid) and raw heads as .npy",
+        "recurrent serving compiler; writes the raw head stack "
+        "[X, Y, Z, out_channels] as .npy (sigmoid channel 0 for the "
+        "probability map)",
     )
     p.add_argument("images", nargs="+", help="tif/npy z-stacks; same-shaped "
                    "stacks are batched per dispatch (B=4 measured 3.3x/volume "
@@ -419,6 +420,8 @@ def _cmd_predict_recurrent(args):
     from hcunet_tpu.infer.pipeline import _load_volume
     from hcunet_tpu.utils.checkpoint import load_checkpoint
 
+    # untyped restore: the raw numpy-leaf tree applies directly (flax
+    # accepts plain dicts), so one read suffices — no template re-init
     config, variables, _ = load_checkpoint(args.checkpoint)
     if isinstance(config, RUNetConfig):
         from hcunet_tpu.models.runet import RecursiveUNet
@@ -430,12 +433,6 @@ def _cmd_predict_recurrent(args):
         model = RDCNet(config)
     else:
         raise SystemExit(f"not a recurrent checkpoint: {type(config).__name__}")
-    # re-init template so load_checkpoint can type the restored tree
-    tmpl = model.init(
-        jax.random.PRNGKey(0),
-        np.zeros((1, 32, 32, 8, config.in_channels), np.float32),
-    )
-    _, variables, _ = load_checkpoint(args.checkpoint, tmpl)
 
     if args.no_packed:
         apply_fn = jax.tree_util.Partial(

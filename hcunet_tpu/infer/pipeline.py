@@ -104,10 +104,14 @@ def analyze(
     ``mesh`` (a ``jax.sharding.Mesh`` with a ``spatial`` axis) runs each
     chunk's semantic segmentation multi-chip: the chunk's X axis is sharded
     over the mesh with ICI halo exchange
-    (:func:`hcunet_tpu.parallel.tiled.sharded_tiled_forward`), bucket-padded
-    so every shard owns whole tile columns.  Chunks too thin to shard fall
-    back to the single-device engine.  This is the reference's chunk loop
-    (``hcat/main.py:74-89``) finally living on the mesh.
+    (:func:`hcunet_tpu.parallel.tiled.sharded_tiled_forward`).  A chunk
+    rides the mesh only when its X is an exact multiple of
+    ``n_shards * eval_x`` (whole tile columns per shard) — that keeps the
+    mesh path *output-identical* to single-device; other chunks fall back
+    to the single-device engine.  Pick ``numchunks`` so chunk widths align
+    with the shard quantum to keep every chunk on the mesh.  This is the
+    reference's chunk loop (``hcat/main.py:74-89``) finally living on the
+    mesh.
     """
     import jax.numpy as jnp
 
@@ -232,21 +236,19 @@ def analyze(
                 n_shards * int(cfg.tiles.eval_size[0])
                 if sharded_seg is not None else 0
             )
-            # shard only when every shard gets at least one tile column of
-            # REAL data (Xc >= quantum) — bucket-padding a thin chunk across
-            # the mesh would be pure waste — and when the slab clears the
-            # halo constraint
+            # shard only when the chunk's X is an exact multiple of the
+            # shard quantum (whole tile columns per shard) and the slab
+            # clears the halo constraint.  Padded chunks fall back to the
+            # single-device engine: bucket-padding would let the fused blur
+            # epilogue see mirrored padding rows near the chunk's far-X
+            # edge and diverge (within the blur radius) from the
+            # single-device result — the mesh path stays output-exact.
             if sharded_seg is not None and Xc >= quantum and (
-                -(-Xc // quantum) * quantum
-            ) // n_shards >= max(
+                Xc % quantum == 0
+            ) and Xc // n_shards >= max(
                 int(cfg.tiles.pad[0]), int(cfg.tiles.eval_size[0])
             ):
-                Xb = -(-Xc // quantum) * quantum
-                dev_in = dev if Xb == Xc else jnp.pad(
-                    dev, [(0, 0), (0, Xb - Xc), (0, 0), (0, 0), (0, 0)],
-                    mode="symmetric" if Xb - Xc <= Xc else "edge",
-                )
-                prob_dev = sharded_seg(dev_in)[:, :Xc]
+                prob_dev = sharded_seg(dev)
             else:
                 prob_dev = predict_segmentation_mask(
                     unet_apply, dev, cfg.unet, cfg.tiles,

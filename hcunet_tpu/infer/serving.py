@@ -96,10 +96,20 @@ class Segmenter:
 
     def _use_sharded(self, spatial: Sequence[int]) -> bool:
         """Shard only when every shard holds at least one tile column of
-        real data; thinner volumes run the single-device engine
-        (bucket-padding them across the mesh would be pure waste)."""
-        return self._n_shards > 1 and spatial[0] >= self._n_shards * int(
-            self.tile_cfg.eval_size[0]
+        real data AND the per-shard slab clears the halo constraint
+        (``sharded_tiled_forward`` needs slab width >= max(pad_x, eval_x));
+        thinner volumes run the single-device engine (bucket-padding them
+        across the mesh would be pure waste, and a slab thinner than the
+        halo would error at predict time)."""
+        if self._n_shards <= 1:
+            return False
+        ev_x = int(self.tile_cfg.eval_size[0])
+        if spatial[0] < self._n_shards * ev_x:
+            return False
+        quantum = ev_x * self._n_shards
+        bucket_x = -(-int(spatial[0]) // quantum) * quantum
+        return bucket_x // self._n_shards >= max(
+            int(self.tile_cfg.pad[0]), ev_x
         )
 
     def bucket_shape(self, spatial: Sequence[int]) -> Tuple[int, ...]:

@@ -15,17 +15,24 @@ from __future__ import annotations
 
 import os
 
-_enabled = False
+_enabled_dir: str | None = None
+_attempted = False
 
 
 def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     """Point jax at a persistent compilation cache directory (idempotent).
 
-    Returns the cache dir, or None when disabled via ``HCUNET_NO_CACHE``.
+    Returns the directory that is ACTUALLY enabled (every later call gets
+    the same one, regardless of its own arguments — jax's cache dir is
+    process-global), or None when disabled via ``HCUNET_NO_CACHE`` or when
+    no candidate was writable.
     """
-    global _enabled
+    global _enabled_dir, _attempted
     if os.environ.get("HCUNET_NO_CACHE"):
         return None
+    if _attempted:
+        return _enabled_dir
+    _attempted = True
     explicit = cache_dir or os.environ.get("HCUNET_CACHE_DIR")
     # Candidate order: explicit > repo-local .cache (source checkouts) >
     # ~/.cache/hcunet (pip installs, where site-packages may be read-only).
@@ -40,8 +47,6 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
             "hcunet", "jax",
         ),
     ]
-    if _enabled:
-        return candidates[0]
     for cand in candidates:
         try:
             os.makedirs(cand, exist_ok=True)
@@ -51,7 +56,7 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
 
         jax.config.update("jax_compilation_cache_dir", cand)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        _enabled = True
+        _enabled_dir = cand
         return cand
     # No writable location: run without a persistent cache rather than fail
     # Segmenter/CLI construction as a side effect.

@@ -185,3 +185,39 @@ def test_load_legacy_cells_rejects_dangerous_globals(tmp_path):
         pickle.dump([Evil()], f)
     with pytest.raises(pickle.UnpicklingError, match="refusing to unpickle"):
         load_legacy_cells(str(p))
+
+
+def test_load_legacy_cells_blocks_nested_torch_load_gadget(tmp_path):
+    """torch.storage._load_from_bytes internally runs torch.load — an
+    allowlisted entry must not hand attacker bytes to an unrestricted
+    nested unpickler (the classic allowlist bypass)."""
+    import io
+    import pickle
+
+    import pytest
+    import torch
+
+    from hcunet_tpu.analysis.validate import load_legacy_cells
+
+    class _Evil:
+        def __reduce__(self):
+            return (eval, ("__import__('os').getcwd()",))
+
+    evil_torch_bytes = io.BytesIO()
+    torch.save({"payload": _Evil()}, evil_torch_bytes)
+
+    class _Carrier:
+        def __reduce__(self):
+            import torch.storage
+
+            return (torch.storage._load_from_bytes,
+                    (evil_torch_bytes.getvalue(),))
+
+    p = tmp_path / "all_cells.pkl"
+    with open(p, "wb") as f:
+        pickle.dump([_Carrier()], f)
+    with pytest.raises(Exception) as ei:
+        load_legacy_cells(str(p))
+    assert "eval" in str(ei.value) or "Unpickling" in str(
+        type(ei.value).__name__
+    ) or "Weights only" in str(ei.value) or "weights_only" in str(ei.value)
