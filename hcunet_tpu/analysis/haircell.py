@@ -112,8 +112,10 @@ def generate_cell_objects(
     # integer stacks stay raw until here (they cross the device tunnel at
     # their native width); rescale to [0,1] at crop granularity — only the
     # boxed voxels pay the conversion, not the whole chunk
+    from hcunet_tpu.data.transforms import integer_unit_scale
+
     int_scale = (
-        float(np.iinfo(image.dtype).max)
+        integer_unit_scale(image.dtype)
         if np.issubdtype(image.dtype, np.integer) else None
     )
     slices = ndi.find_objects(unique_mask, max_label=max_id)

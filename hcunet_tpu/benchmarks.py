@@ -9,22 +9,85 @@ Baseline (BASELINE.md): the PyTorch reference on this machine's CPU does
 5.4 MVx in 557.4 s = 0.00969 MVx/s (measured by
 ``scripts/measure_torch_baseline.py``; the reference publishes no numbers).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per metric: {"metric", "value", "unit", "vs_baseline"}.
+By default BOTH the tiled headline AND the end-to-end ``analyze()`` pipeline
+metric are emitted (two lines), so both figures are driver-verified.
+``--pipeline`` emits only the pipeline line, ``--headline`` only the tiled
+line.
 
-``--pipeline`` instead benchmarks the full ``analyze()`` — detection +
-segmentation + instance watershed + analytics (``hcat/main.py:20-236``) on a
-synthetic multi-chunk cell scene, against a torch-CPU estimate composed from
-the measured stage baselines (unet 0.00969 MVx/s + detection 127.1 s per
+The pipeline bench is the full ``analyze()`` — detection + segmentation +
+instance watershed + analytics (``hcat/main.py:20-236``) on a synthetic
+multi-chunk cell scene, against a torch-CPU estimate composed from the
+measured stage baselines (unet 0.00969 MVx/s + detection 127.1 s per
 512² z-slice; the reference's watershed time is excluded, favoring it).
+
+Backend resilience (VERDICT r3 #4): the remote axon TPU tunnel flakes, and
+``jax.devices()`` can HANG >300 s when it is down — so before touching the
+backend in-process, a subprocess probe (killable on timeout) checks it,
+retrying with backoff.  On persistent unavailability the bench emits one
+classified JSON line per requested metric
+(``{"metric": ..., "error": "backend_unavailable"}``) and exits 0, so a
+tunnel outage is recorded as a classified result instead of a traceback.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 TORCH_CPU_BASELINE_MVX_S = 5.4 / 557.39  # scripts/measure_torch_baseline.py
 TORCH_CPU_DET_S_PER_PX = 127.12 / 512**2  # scripts/measure_detection_baseline.py
+
+_BACKEND_ERR_MARKS = (
+    "UNAVAILABLE", "DEADLINE_EXCEEDED", "Unable to initialize backend",
+    "failed to connect", "Socket closed", "Connection reset",
+)
+
+
+def _is_backend_error(exc: BaseException) -> bool:
+    msg = f"{type(exc).__name__}: {exc}"
+    return any(m.lower() in msg.lower() for m in _BACKEND_ERR_MARKS)
+
+
+def _probe_backend_once(timeout_s: float) -> bool:
+    """Check the accelerator backend in a KILLABLE subprocess (an in-process
+    ``jax.devices()`` hangs indefinitely when the tunnel is down)."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); import sys; sys.exit(0 if d else 1)"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+    except Exception:
+        return False
+
+
+def backend_available(attempts: int = 3, timeout_s: float = 150.0) -> bool:
+    """Probe with backoff: ~3 tries over a few minutes rides out a transient
+    tunnel flake; a hard outage fails fast enough for the driver."""
+    for i in range(attempts):
+        if _probe_backend_once(timeout_s):
+            return True
+        if i < attempts - 1:
+            delay = 30.0 * (i + 1)
+            print(
+                f"# backend probe {i + 1}/{attempts} failed; "
+                f"retrying in {delay:.0f}s",
+                file=sys.stderr, flush=True,
+            )
+            time.sleep(delay)
+    return False
+
+
+def _emit_unavailable(metric: str, detail: str = "") -> None:
+    line = {"metric": metric, "error": "backend_unavailable"}
+    if detail:
+        line["detail"] = detail[:300]
+    print(json.dumps(line), flush=True)
 
 
 def main():
@@ -172,8 +235,10 @@ def _fit_unet_to_scene(model, variables, vol, truth, steps=40):
                     jax.tree.map(np.asarray, variables), f.read()
                 )
 
+    from hcunet_tpu.data.transforms import integer_unit_scale
+
     volf = (
-        vol.astype(np.float32) / np.iinfo(vol.dtype).max
+        vol.astype(np.float32) / integer_unit_scale(vol.dtype)
         if np.issubdtype(vol.dtype, np.integer) else vol
     )
     x = jnp.asarray(((volf[:256, :256] - 0.5) / 0.5)[None], jnp.float32)
@@ -240,7 +305,13 @@ def pipeline_main():
     det = Detector(dtype=jnp.bfloat16)
     det_vars = det.init(jax.random.PRNGKey(1), (shape[0] // 2, shape[1] // 2))
 
-    pcfg = PipelineConfig(numchunks=3, unet=ucfg, tiles=auto_tile_config(ucfg))
+    # bf16 device→host transfer is the measured throughput lever
+    # (BASELINE.md r3); the library default is exact float32, the bench
+    # opts into the production-throughput configuration explicitly.
+    pcfg = PipelineConfig(
+        numchunks=3, unet=ucfg, tiles=auto_tile_config(ucfg),
+        prob_transfer_dtype="bfloat16",
+    )
 
     def run():
         work = tempfile.mkdtemp(prefix="hcunet_bench_")
@@ -251,12 +322,12 @@ def pipeline_main():
                 detector_variables=det_vars, cfg=pcfg, work_dir=work,
                 fit_cochlea=False,
             )
-            return time.perf_counter() - t0, res.stage_seconds
+            return time.perf_counter() - t0, res.stage_seconds, res.stage_bytes
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
     run()  # compile + warm
-    dt, stages = run()
+    dt, stages, xfer = run()
     vox = shape[0] * shape[1] * shape[2]
     mvx = vox / 1e6
     # composed torch-CPU reference estimate for the same volume (unet tiling
@@ -273,13 +344,43 @@ def pipeline_main():
                 "unit": "MVx/s",
                 "vs_baseline": round(value / (mvx / ref_s), 1),
                 "stage_seconds": {k: round(v, 2) for k, v in stages.items()},
+                "transfer_mb": {
+                    k: round(v / 1e6, 1) for k, v in (xfer or {}).items()
+                },
             }
         )
     )
 
 
-if __name__ == "__main__":
-    if "--pipeline" in sys.argv:
-        pipeline_main()
+def run(argv=None) -> int:
+    """Entry point used by bench.py and ``hcunet bench``.
+
+    Emits one JSON line per requested metric; backend outages produce
+    classified ``backend_unavailable`` lines and exit 0 (VERDICT r3 #4)."""
+    argv = sys.argv[1:] if argv is None else list(argv)
+    if "--pipeline" in argv:
+        jobs = [("analyze_pipeline_end_to_end", pipeline_main)]
+    elif "--headline" in argv or "--plain" in argv:
+        jobs = [("tiled_unet3d_inference", main)]
     else:
-        main()
+        jobs = [
+            ("tiled_unet3d_inference", main),
+            ("analyze_pipeline_end_to_end", pipeline_main),
+        ]
+    if not backend_available():
+        for metric, _fn in jobs:
+            _emit_unavailable(metric, "probe: jax.devices() unreachable")
+        return 0
+    for metric, fn in jobs:
+        try:
+            fn()
+        except Exception as e:  # classify tunnel deaths mid-run; re-raise bugs
+            if _is_backend_error(e):
+                _emit_unavailable(metric, f"{type(e).__name__}: {e}")
+            else:
+                raise
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(run())

@@ -176,14 +176,20 @@ def main(argv=None):
     _add_pretrain(sub)
     p = sub.add_parser("bench", help="run the headline benchmark")
     p.add_argument("--pipeline", action="store_true",
-                   help="benchmark the full analyze() pipeline instead")
+                   help="benchmark only the full analyze() pipeline")
+    p.add_argument("--headline", action="store_true",
+                   help="benchmark only the tiled-inference headline")
     args = parser.parse_args(argv)
 
     if args.cmd == "bench":
         from hcunet_tpu import benchmarks as bench
 
-        (bench.pipeline_main if args.pipeline else bench.main)()
-        return 0
+        flags = []
+        if args.pipeline:
+            flags.append("--pipeline")
+        if args.headline:
+            flags.append("--headline")
+        return bench.run(flags)
 
     if args.cmd == "preprocess":
         return _cmd_preprocess(args)
@@ -453,7 +459,9 @@ def _cmd_predict_recurrent(args):
     for path in args.images:
         vol = _load_volume(path)
         if np.issubdtype(vol.dtype, np.integer):
-            vol = vol.astype(np.float32) / np.iinfo(vol.dtype).max
+            from hcunet_tpu.data.transforms import integer_unit_scale
+
+            vol = vol.astype(np.float32) / integer_unit_scale(vol.dtype)
         vol = ((vol - 0.5) / 0.5).astype(np.float32)
         vols[path] = vol
         by_shape.setdefault(vol.shape, []).append(path)

@@ -206,11 +206,13 @@ class PipelineConfig:
     prob_scale: float = 10.0
     normalize_mean: Tuple[float, ...] = (0.5, 0.5, 0.5, 0.5)
     normalize_std: Tuple[float, ...] = (0.5, 0.5, 0.5, 0.5)
-    # dtype the probability map rides device→host in.  "bfloat16" halves the
-    # remote-tunnel transfer; the packed serving program computes in bf16
-    # anyway, so only the fused f32 blur/rescale tail is quantized.
-    # "float32" restores the exact round-2 behavior.
-    prob_transfer_dtype: str = "bfloat16"
+    # dtype the probability map rides device→host in.  "float32" (default)
+    # is the exact reference/round-2 behavior.  "bfloat16" halves the
+    # remote-tunnel transfer (the packed serving program computes in bf16
+    # anyway, so only the fused f32 blur/rescale tail is quantized to ~3
+    # significant digits) — opt in for throughput-sensitive deployments
+    # (the bench does; advisor r3 finding #3 flagged lossy-by-default).
+    prob_transfer_dtype: str = "float32"
     detection_channels: Tuple[int, ...] = (0, 2, 3)
     unet: UNetConfig = field(default_factory=UNetConfig.production_3d)
     tiles: TileConfig = field(default_factory=TileConfig)

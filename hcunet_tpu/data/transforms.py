@@ -46,6 +46,19 @@ Arrays = List[np.ndarray]
 # ---------------------------------------------------------------------------
 
 
+def integer_unit_scale(dtype) -> float:
+    """The [0,1] rescale divisor for an integer image dtype.
+
+    Matches :class:`to_float` and the reference (``transforms.py:94-115``):
+    ``2**bits`` (256 / 65536), NOT ``iinfo.max`` (255 / 65535) — every
+    integer-ingestion path in the pipeline must use this same constant or
+    probabilities near thresholds silently shift by ~0.39% (uint8)."""
+    dt = np.dtype(dtype)
+    if not np.issubdtype(dt, np.integer):
+        raise TypeError(f"expected an integer dtype, got {dt}")
+    return float(2 ** (8 * dt.itemsize))
+
+
 class to_float:
     """uint8/uint16 → float in [0,1] (``transforms.py:94-115``)."""
 

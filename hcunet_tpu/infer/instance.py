@@ -38,16 +38,42 @@ from hcunet_tpu.ops.distance import edt_per_slice_host
 from hcunet_tpu.ops.watershed import instance_tile, watershed
 
 
+def _resolve_host_ram(host_ram_bytes: Optional[int] = None) -> int:
+    if host_ram_bytes is not None:
+        return host_ram_bytes
+    try:
+        import psutil
+
+        return psutil.virtual_memory().total
+    except Exception:
+        return 16 * 2**30
+
+
+def _cap_tile_workers(
+    workers: int, pad, ev, Z: int, cfg: WatershedConfig, host_ram_bytes: int
+) -> int:
+    """Cap concurrent flood workers so `workers x per-tile-peak` fits RAM.
+
+    The reference's tile table (``segment.py:237-242``) sizes ONE tile to
+    total host RAM; running cpu_count-1 tiles at once multiplies the peak by
+    the worker count (advisor r3 finding #1).  Per-tile peak: the float64
+    tile copy + binary + seed + labels (~25 B/voxel for the fused/device
+    backends, which expand z virtually), times ``expand_z`` extra
+    materialized copies (~21 B/expanded-voxel) for the materialized oracle.
+    Budget: half of host RAM for the flood stage."""
+    tile_vox = (ev[0] + 2 * pad[0]) * (ev[1] + 2 * pad[1]) * max(Z, 1)
+    if cfg.backend == "materialized":
+        per_tile = tile_vox * max(1, int(cfg.expand_z)) * 21
+    else:
+        per_tile = tile_vox * 25
+    budget = host_ram_bytes // 2
+    return max(1, min(int(workers), int(budget // max(per_tile, 1))))
+
+
 def _instance_tile_geometry(spatial, host_ram_bytes: Optional[int] = None):
     """The reference's CPU-RAM-keyed watershed tiling
     (``segment.py:237-242``) with its small-image fallback."""
-    if host_ram_bytes is None:
-        try:
-            import psutil
-
-            host_ram_bytes = psutil.virtual_memory().total
-        except Exception:
-            host_ram_bytes = 16 * 2**30
+    host_ram_bytes = _resolve_host_ram(host_ram_bytes)
     if round(host_ram_bytes / 1e9) >= 16:
         pad, ev = [56, 56], [1212, 1212]
     else:
@@ -213,6 +239,7 @@ def generate_unique_segmentation_mask(
         unique_cell_id += 1
 
     # --- per-tile watershed (segment.py:403-499) ---
+    host_ram_bytes = _resolve_host_ram(host_ram_bytes)
     pad, ev = _instance_tile_geometry((X, Y), host_ram_bytes)
     if ev[0] >= X:
         x_ind, pad_x = [[0, X]], 0
@@ -326,16 +353,33 @@ def generate_unique_segmentation_mask(
 
     tiles = [(x0, x1, y0, y1) for x0, x1 in x_ind for y0, y1 in y_ind]
     workers = cfg.tile_workers or max(1, (os.cpu_count() or 1) - 1)
+    # workers x per-tile peak must fit host RAM: the tile table assumes ONE
+    # tile in flight (reference semantics), so concurrency is capped — an
+    # explicit cfg.tile_workers is capped too (it multiplies the same peak)
+    workers = _cap_tile_workers(workers, pad, ev, Z, cfg, host_ram_bytes)
     if workers > 1 and len(tiles) > 1 and cfg.backend != "device":
         # floods run concurrently (the native op releases the GIL); the
         # merge below applies results in tile order, so the output is
-        # bit-identical to the serial loop at any worker count
+        # bit-identical to the serial loop at any worker count.  In-flight
+        # futures are bounded to the worker count so completed-but-unmerged
+        # label arrays can't pile up beyond the RAM budget.
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=workers) as pool:
-            futures = [pool.submit(_flood_tile, *tl) for tl in tiles]
-            results = ((tl, f.result()) for tl, f in zip(tiles, futures))
-            for (x0, x1, y0, y1), labels in results:
+            it = iter(tiles)
+            window: deque = deque()
+            for _ in range(workers):
+                tl = next(it, None)
+                if tl is None:
+                    break
+                window.append((tl, pool.submit(_flood_tile, *tl)))
+            while window:
+                (x0, x1, y0, y1), fut = window.popleft()
+                labels = fut.result()
+                tl = next(it, None)
+                if tl is not None:
+                    window.append((tl, pool.submit(_flood_tile, *tl)))
                 region = unique_mask[x0:x1, y0:y1, :]
                 region[labels > 0] = labels[labels > 0]
                 if progress:

@@ -47,7 +47,16 @@ class AnalyzeResult:
     cochlea_curve: Optional[np.ndarray] = None
     percentage: Optional[np.ndarray] = None
     apex: Optional[np.ndarray] = None
-    stage_seconds: Optional[Dict[str, float]] = None  # per-stage wall time
+    # Per-stage wall time.  With the default async/overlapped pipeline these
+    # are dispatch+fetch wall times as seen by whichever thread ran the
+    # stage — device execution overlaps across stages, so the values bound
+    # (not partition) the end-to-end wall time.  Run ``overlap=False`` for
+    # cleanly attributable sequential stage times.
+    stage_seconds: Optional[Dict[str, float]] = None
+    # Per-stage transfer accounting (bytes over the host<->device link):
+    # h2d = chunk uploads, prob_d2h = probability-map fetches,
+    # detect_d2h = detection-candidate fetches.
+    stage_bytes: Optional[Dict[str, int]] = None
 
 
 def _load_volume(path: str) -> np.ndarray:
@@ -156,6 +165,10 @@ def analyze(
     all_cells: List[HairCell] = []
     t_start = time.perf_counter()
     stage_seconds = {"detect": 0.0, "unet": 0.0, "instance": 0.0, "analytics": 0.0}
+    # transfer accounting over the host<->device link (VERDICT r3 #6): each
+    # key is written by exactly one thread (h2d/prob_d2h on the main thread,
+    # detect_d2h on the overlap worker), so plain += is safe
+    stage_bytes = {"h2d": 0, "prob_d2h": 0, "detect_d2h": 0}
 
     def _staged(name):
         class _T:
@@ -167,11 +180,34 @@ def analyze(
 
         return _T()
 
-    def _finish_chunk(chunk_id, chunk, prob, candidates, cx0, cy0,
+    def _nbytes(arr) -> int:
+        try:
+            return int(arr.size) * arr.dtype.itemsize
+        except Exception:
+            return 0
+
+    def _finish_chunk(chunk_id, chunk, det_pending, prob, cx0, cy0,
                       part_path, cells_path):
-        """Host-side tail of one chunk: instance watershed, cell objects,
-        spill.  Runs on the overlap worker thread (the native flood
-        releases the GIL)."""
+        """Host-side tail of one chunk: detection collect, instance
+        watershed, cell objects, spill.  Runs on the overlap worker thread
+        (the native flood releases the GIL; the detection fetch is a small
+        transfer that would otherwise block the main thread's next
+        dispatch — candidates are only needed from here on)."""
+        if det_pending is not None:
+            with _staged("detect"):
+                candidates = collect_cell_candidates(det_pending)
+                stage_bytes["detect_d2h"] += sum(
+                    _nbytes(out[k])
+                    for *_ignored, out in det_pending
+                    for k in ("boxes", "scores", "labels", "valid")
+                )
+            log.info(
+                "%s: %d candidates", chunk_id, len(candidates["scores"])
+            )
+        else:
+            from hcunet_tpu.infer.candidates import empty_candidates
+
+            candidates = empty_candidates()
         with _staged("instance"):
             unique_mask, _seed = generate_unique_segmentation_mask(
                 prob, candidates, cfg.watershed
@@ -201,8 +237,11 @@ def analyze(
         x = raw.astype(jnp.float32)
         if np.issubdtype(np.dtype(raw.dtype), np.integer):
             # integer sources ride the tunnel raw; the [0,1] to_float
-            # rescale happens here on device
-            x = x / float(np.iinfo(np.dtype(raw.dtype)).max)
+            # rescale happens here on device — same 2**bits divisor as
+            # to_float / the reference (transforms.py:94-115)
+            from hcunet_tpu.data.transforms import integer_unit_scale
+
+            x = x / integer_unit_scale(raw.dtype)
         return (x - mean.astype(np.float32)) / std.astype(np.float32)
 
     def _dispatch_chunk(item):
@@ -220,6 +259,7 @@ def analyze(
         raw = jnp.asarray(
             np.ascontiguousarray(chunk)[None]
         )  # the one H2D transfer, in the source dtype
+        stage_bytes["h2d"] += _nbytes(raw)
         dev = _normalize_dev(raw)  # [1, X, Y, Z, C] float32 on device
 
         det_pending = None
@@ -267,24 +307,17 @@ def analyze(
             part_path, cells_path
 
     def _collect_chunk(flight):
-        """Block on the in-flight chunk's results and hand off to the
-        host-side instance stage."""
+        """Block on the in-flight chunk's probability map and hand off to
+        the host-side tail (detection collect + instance stage) — the
+        candidates are only consumed there, so their fetch rides the
+        overlap worker instead of stalling the next chunk's dispatch."""
         (chunk_id, chunk, det_pending, prob_dev, cx0, cy0,
          part_path, cells_path) = flight
-        if det_pending is not None:
-            with _staged("detect"):
-                candidates = collect_cell_candidates(det_pending)
-            log.info(
-                "%s: %d candidates", chunk_id, len(candidates["scores"])
-            )
-        else:
-            from hcunet_tpu.infer.candidates import empty_candidates
-
-            candidates = empty_candidates()
         with _staged("unet"):
+            stage_bytes["prob_d2h"] += _nbytes(prob_dev)
             prob = np.asarray(prob_dev)[0, ..., 0].astype(np.float32)
 
-        args = (chunk_id, chunk, prob, candidates, cx0, cy0,
+        args = (chunk_id, chunk, det_pending, prob, cx0, cy0,
                 part_path, cells_path)
         if executor is not None:
             pending.append(executor.submit(_finish_chunk, *args))
@@ -349,11 +382,13 @@ def analyze(
 
         cells_to_csv(all_cells, os.path.join(work_dir, "cells.csv"))
     log.info(
-        "stage seconds: %s",
+        "stage seconds: %s  transfer bytes: %s",
         {k: round(v, 2) for k, v in stage_seconds.items()},
+        {k: f"{v / 1e6:.1f}MB" for k, v in stage_bytes.items()},
     )
     return AnalyzeResult(
-        mask, unique_mask, all_cells, curve, pct, apex, stage_seconds
+        mask, unique_mask, all_cells, curve, pct, apex, stage_seconds,
+        stage_bytes,
     )
 
 

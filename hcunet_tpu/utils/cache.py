@@ -30,10 +30,26 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     global _enabled_dir, _attempted
     if os.environ.get("HCUNET_NO_CACHE"):
         return None
+    explicit = cache_dir or os.environ.get("HCUNET_CACHE_DIR")
     if _attempted:
+        # an explicit dir on a later call is honored (jax allows re-setting
+        # the cache dir), not silently swallowed by the first caller's choice
+        if explicit and explicit != _enabled_dir:
+            try:
+                os.makedirs(explicit, exist_ok=True)
+                import jax
+
+                jax.config.update("jax_compilation_cache_dir", explicit)
+                _enabled_dir = explicit
+            except OSError:
+                import warnings
+
+                warnings.warn(
+                    f"requested compilation cache dir {explicit!r} is not "
+                    f"writable; keeping {_enabled_dir!r}"
+                )
         return _enabled_dir
     _attempted = True
-    explicit = cache_dir or os.environ.get("HCUNET_CACHE_DIR")
     # Candidate order: explicit > repo-local .cache (source checkouts) >
     # ~/.cache/hcunet (pip installs, where site-packages may be read-only).
     candidates = [explicit] if explicit else [

@@ -75,7 +75,9 @@ def test_analyze_uint16_matches_float(tmp_path, tiny_models, rng):
     result must match the same volume pre-converted to [0,1] float."""
     unet_cfg, unet_apply, det, det_vars = tiny_models
     vol16 = (rng.random((64, 64, 6, 4)) * 65535).astype(np.uint16)
-    volf = vol16.astype(np.float32) / 65535.0
+    # the float path divides by 2**16 like to_float / the reference
+    # (transforms.py:94-115) — NOT iinfo.max (advisor r3 finding #2)
+    volf = vol16.astype(np.float32) / 65536.0
     results = []
     for name, vol in (("u16", vol16), ("f32", volf)):
         results.append(
@@ -86,7 +88,7 @@ def test_analyze_uint16_matches_float(tmp_path, tiny_models, rng):
             )
         )
     a, b = results
-    # device normalize: (x/65535 - mean)/std vs (xf - mean)/std — identical
+    # device normalize: (x/65536 - mean)/std vs (xf - mean)/std — identical
     # math up to f32 rounding of the division, so masks must agree
     np.testing.assert_allclose(a.mask, b.mask, atol=1e-3)
     assert (a.unique_mask == b.unique_mask).mean() > 0.999
