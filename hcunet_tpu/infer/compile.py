@@ -78,19 +78,21 @@ def repack(xp: jnp.ndarray, zb_from: int, zb_to: int, z_len: int, c: int) -> jnp
 
 
 def pack_conv_weights(
-    w: np.ndarray, zb: int, z_shift: int = 0
+    w: np.ndarray, zb: int, z_shift: int = 0, z_dilation: int = 1
 ) -> Tuple[jnp.ndarray, int, int]:
     """Pack [kx, ky, kz, Cin, Cout] into block-banded
     [kx, ky, kzb, Cin*zb, Cout*zb] (c-major lanes).
 
     Out slot ``zo`` of relative block 0 consumes input slot
-    ``zi = zo + dz + z_shift`` (``z_shift`` < 0 encodes the transpose-conv's
-    zero left-extension).  Returns ``(wp, kzb, nb_left)`` where ``nb_left``
-    is how many zero blocks the input must be extended by on the left.
+    ``zi = zo + dz * z_dilation + z_shift`` (``z_shift`` < 0 encodes the
+    transpose-conv's zero left-extension; ``z_dilation`` > 1 the dilated
+    taps of StackedDilation, ``hcat/r_unet.py:348-364``).  Returns
+    ``(wp, kzb, nb_left)`` where ``nb_left`` is how many zero blocks the
+    input must be extended by on the left.
     """
     kx, ky, kz, cin, cout = w.shape
     lo = min(0 + 0 + z_shift, (zb - 1) + 0 + z_shift)
-    hi = (zb - 1) + (kz - 1) + z_shift
+    hi = (zb - 1) + (kz - 1) * z_dilation + z_shift
     rb_min = lo // zb if lo < 0 else 0
     rb_max = hi // zb
     kzb = rb_max - rb_min + 1
@@ -98,7 +100,7 @@ def pack_conv_weights(
     wn = np.asarray(w, np.float32)
     for zo in range(zb):
         for dz in range(kz):
-            zi = zo + dz + z_shift
+            zi = zo + dz * z_dilation + z_shift
             rb, ri = zi // zb, zi % zb  # floor-division: rb may be rb_min<0
             wp[:, :, rb - rb_min, ri::zb, zo::zb] = wn[:, :, dz]
     return jnp.asarray(wp), kzb, -rb_min
@@ -151,6 +153,7 @@ def conv_packed(
     bias: Optional[jnp.ndarray] = None,
     relu: bool = False,
     lhs_dilation: Optional[Tuple[int, int]] = None,
+    rhs_dilation_xy: Optional[Tuple[int, int]] = None,
     pad_xy: Tuple[int, int] = (0, 0),
     z_grow: int = 0,
     z_delta: Optional[int] = None,
@@ -178,6 +181,9 @@ def conv_packed(
         window_strides=(1, 1, 1),
         padding=[(pad_xy[0], pad_xy[0]), (pad_xy[1], pad_xy[1]), (0, 0)],
         lhs_dilation=(None if lhs_dilation is None else (*lhs_dilation, 1)),
+        rhs_dilation=(
+            None if rhs_dilation_xy is None else (*rhs_dilation_xy, 1)
+        ),
         dimension_numbers=_dimnums(3),
         preferred_element_type=dtype,
     )

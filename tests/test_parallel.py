@@ -220,7 +220,10 @@ def test_segmenter_sharded_with_postprocess_and_packed(small_cfg):
 
 def test_analyze_sharded_matches_single_device(small_cfg, tmp_path):
     """`analyze(mesh=...)`: the end-to-end pipeline on the 8-shard mesh
-    produces identical masks, instance labels and cells to single-device."""
+    produces identical masks, instance labels and cells to single-device —
+    on a volume whose chunk widths (67/68 from the linspace grid) are NOT
+    multiples of the shard quantum (8 devices x eval_x 16 = 128), so every
+    chunk exercises the bucket-padded mesh path (VERDICT r3 #3)."""
     from hcunet_tpu.config import PipelineConfig, TileConfig
     from hcunet_tpu.infer.pipeline import analyze
 
@@ -229,14 +232,14 @@ def test_analyze_sharded_matches_single_device(small_cfg, tmp_path):
         lambda v, t: model.apply(v, t, train=False), variables
     )
     cfg = PipelineConfig(
-        numchunks=2,
+        numchunks=3,
         unet=small_cfg,
         tiles=TileConfig(eval_size=(16, 24, 8), pad=(16, 16, 2), batch=2),
     )
     mesh = make_mesh({SPATIAL_AXIS: 8})
 
     rng = np.random.default_rng(3)
-    vol = rng.random((128, 40, 8, 4), np.float32)
+    vol = rng.random((135, 40, 8, 4), np.float32)
 
     res1 = analyze(
         volume=vol, unet_apply=apply_fn, cfg=cfg,
@@ -247,6 +250,8 @@ def test_analyze_sharded_matches_single_device(small_cfg, tmp_path):
         work_dir=str(tmp_path / "sharded"), fit_cochlea=False, overlap=False,
         mesh=mesh,
     )
+    # every misaligned chunk must have ridden the mesh, none fell back
+    assert res8.mesh_chunks == {"sharded": 4, "fallback": 0}
     np.testing.assert_allclose(res8.mask, res1.mask, atol=2e-5)
     np.testing.assert_array_equal(res8.unique_mask, res1.unique_mask)
     assert len(res8.cells) == len(res1.cells)
@@ -286,6 +291,39 @@ def test_unet_trainer_mesh_matches_single_device(small_cfg):
     ]
     assert len(losses_mesh) == len(ds) // tr_mesh.data_size
     np.testing.assert_allclose(losses_mesh, losses_single, rtol=1e-4)
+
+
+def test_unet_trainer_mesh_resume_matches_uninterrupted(small_cfg, tmp_path):
+    """Saving/restoring training state under the mesh must continue the
+    exact trajectory of an uninterrupted run (VERDICT r3 #7) — the restored
+    optimizer state is re-placed with its real mesh shardings."""
+    from hcunet_tpu.train.trainer import TrainConfig, UNetTrainer
+
+    model, variables = init_unet(small_cfg, jax.random.PRNGKey(0), (48, 48, 8))
+    mesh = default_multichip_mesh(8)
+    tcfg = TrainConfig(learning_rate=1e-2, log_every=0)
+
+    tr = UNetTrainer(model, dict(variables), tcfg, mesh=mesh)
+    rng = np.random.default_rng(1)
+    bs = tr.data_size
+    batches = [
+        (
+            rng.random((bs, 48, 48, 8, 4), np.float32),
+            (rng.random((bs, 48, 48, 8, 1)) > 0.7).astype(np.float32),
+            np.ones((bs, 48, 48, 8, 1), np.float32),
+        )
+        for _ in range(5)
+    ]
+    for b in batches[:3]:
+        tr.train_step(*(jnp.asarray(a) for a in b))
+    path = str(tmp_path / "mesh_state.bin")
+    tr.save_training_state(path)
+    ref = [tr.train_step(*(jnp.asarray(a) for a in b)) for b in batches[3:]]
+
+    tr2 = UNetTrainer(model, dict(variables), tcfg, mesh=mesh)
+    tr2.load_training_state(path)
+    got = [tr2.train_step(*(jnp.asarray(a) for a in b)) for b in batches[3:]]
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
 
 
 def test_sharded_tiled_forward_rejects_thin_slab(small_cfg):
