@@ -252,9 +252,21 @@ class UNetTrainer:
             # resumed trajectory is then identical to an uninterrupted run
             # (tested on the virtual mesh:
             # test_unet_trainer_mesh_resume_matches_uninterrupted)
+            from jax.sharding import NamedSharding, PartitionSpec
+
             template = self._init_fn(self.params, self.batch_stats)
+            replicated = NamedSharding(self.mesh, PartitionSpec())
+
+            def _target(t):
+                # Adam moments inherit the params' NamedShardings; scalar
+                # leaves (e.g. the Adam count) come out of tx.init on the
+                # default device — committing that single-device placement
+                # would conflict with the 8-device params, so replicate.
+                s = t.sharding
+                return s if isinstance(s, NamedSharding) else replicated
+
             opt_state = jax.tree_util.tree_map(
-                lambda x, t: jax.device_put(jnp.asarray(x), t.sharding),
+                lambda x, t: jax.device_put(jnp.asarray(x), _target(t)),
                 self.opt_state, template.opt_state,
             )
             self._state = template._replace(opt_state=opt_state)
