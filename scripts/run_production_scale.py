@@ -28,14 +28,47 @@ SHAPE = tuple(
 )
 N_CELLS = int(os.environ.get("HCUNET_PROD_CELLS", "2500"))
 NUMCHUNKS = int(os.environ.get("HCUNET_PROD_CHUNKS", "6"))
-KILL_AFTER = float(os.environ.get("HCUNET_PROD_KILL_AFTER", "200"))
+# wall-time fallback for the mid-flight SIGKILL; the primary trigger is
+# KILL_AFTER_CHUNKS completed chunks + a short delay into the next one
+# (a blind wall timer can fire while the first chunk is still compiling,
+# killing a run with zero chunks done — no resume to prove)
+KILL_AFTER = float(os.environ.get("HCUNET_PROD_KILL_AFTER", "3600"))
+KILL_AFTER_CHUNKS = int(os.environ.get("HCUNET_PROD_KILL_CHUNKS", "3"))
+KILL_CHUNK_DELAY = float(os.environ.get("HCUNET_PROD_KILL_DELAY", "20"))
+
+
+def _scene_cached(shape, n_cells):
+    """The 6144^2 scene costs ~15 min to synthesize on a 1-cpu host; cache
+    the arrays on disk so phase 2 / reruns skip it."""
+    import numpy as np
+
+    tag = f"{shape[0]}x{shape[1]}x{shape[2]}_{n_cells}"
+    path = f"/tmp/hcunet_scene_{tag}.npz"
+    if os.path.exists(path):
+        t0 = time.perf_counter()
+        with np.load(path) as z:
+            vol, truth = z["vol"], z["truth"]
+        print(f"scene loaded from cache in {time.perf_counter() - t0:.0f}s",
+              flush=True)
+        return vol, truth
+    from hcunet_tpu.benchmarks import _blob_scene
+
+    t0 = time.perf_counter()
+    vol, truth = _blob_scene(*shape, n_cells=n_cells)
+    print(f"scene built in {time.perf_counter() - t0:.0f}s "
+          f"({vol.nbytes / 1e9:.1f} GB {vol.dtype})", flush=True)
+    try:
+        np.savez(path, vol=vol, truth=truth)
+    except OSError:
+        pass
+    return vol, truth
 
 
 def worker(work_dir: str) -> None:
     import jax
     import jax.numpy as jnp
 
-    from hcunet_tpu.benchmarks import _blob_scene, _fit_unet_to_scene
+    from hcunet_tpu.benchmarks import _fit_unet_to_scene
     from hcunet_tpu.config import PipelineConfig, UNetConfig, auto_tile_config
     from hcunet_tpu.infer.compile import compile_serving_apply
     from hcunet_tpu.infer.pipeline import analyze
@@ -44,10 +77,7 @@ def worker(work_dir: str) -> None:
     from hcunet_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    t0 = time.perf_counter()
-    vol, truth = _blob_scene(*SHAPE, n_cells=N_CELLS)
-    print(f"scene built in {time.perf_counter() - t0:.0f}s "
-          f"({vol.nbytes / 1e9:.1f} GB {vol.dtype})", flush=True)
+    vol, truth = _scene_cached(SHAPE, N_CELLS)
 
     ucfg = UNetConfig.production_3d()
     model, variables = init_unet(
@@ -92,14 +122,18 @@ def run_child(work_dir, kill_after=None):
     lines = []
     state = {"killed": False}
     timer = None
+    chunk_timer = None
+    chunks_done = 0
 
-    def _kill():
-        print(f"  ** SIGKILL after {kill_after}s of analyze", flush=True)
+    def _kill(why):
+        print(f"  ** SIGKILL ({why})", flush=True)
         state["killed"] = True
         p.send_signal(signal.SIGKILL)
 
-    # reader loop; the kill timer is armed when analyze starts so it fires
-    # on wall time, not on output flow (readline blocks between log lines)
+    # reader loop.  Primary kill trigger: KILL_AFTER_CHUNKS chunks complete,
+    # then a short delay so the SIGKILL lands mid-way through the next
+    # chunk's work (a genuinely partial journal).  The wall timer (armed at
+    # "starting analyze") is only a fallback for hung runs.
     while True:
         line = p.stdout.readline()
         if not line:
@@ -110,11 +144,21 @@ def run_child(work_dir, kill_after=None):
         if not re.search(r"WARNING|INFO.*axon", line):
             print("  |", line.rstrip(), flush=True)
         if "starting analyze" in line and kill_after is not None and timer is None:
-            timer = threading.Timer(kill_after, _kill)
+            timer = threading.Timer(kill_after, _kill, args=("wall-time fallback",))
             timer.start()
+        if kill_after is not None and re.search(r"done: \d+ cells", line):
+            chunks_done += 1
+            if chunks_done == KILL_AFTER_CHUNKS and chunk_timer is None:
+                chunk_timer = threading.Timer(
+                    KILL_CHUNK_DELAY, _kill,
+                    args=(f"{KILL_CHUNK_DELAY:.0f}s after chunk "
+                          f"{KILL_AFTER_CHUNKS} completed",),
+                )
+                chunk_timer.start()
     p.wait()
-    if timer is not None:
-        timer.cancel()
+    for t in (timer, chunk_timer):
+        if t is not None:
+            t.cancel()
     killed = state["killed"]
     rss_gb = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss / 1e6
     return dict(
