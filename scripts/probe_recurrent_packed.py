@@ -35,7 +35,7 @@ def bench(fn, x, label):
         float(jnp.sum(fn(x)))
         times.append(time.perf_counter() - t0)
     dt = min(times)
-    mvx = x.shape[0] * X * Y * Z / 1e6
+    mvx = x.shape[0] * x.shape[1] * x.shape[2] * x.shape[3] / 1e6
     print(
         f"{label}: {dt * 1e3:.1f} ms/vol = {mvx / dt:.2f} MVx/s "
         f"(compile {compile_s:.1f}s)"
@@ -44,10 +44,15 @@ def bench(fn, x, label):
 
 
 def main():
+    global X, Y, Z
     B = 1
     for a in sys.argv[1:]:
         if a.startswith("--batch="):
             B = int(a.split("=", 1)[1])
+        elif a.startswith("--z="):
+            Z = int(a.split("=", 1)[1])
+        elif a.startswith("--xy="):
+            X = Y = int(a.split("=", 1)[1])
     model = RecursiveUNet(cfg, dtype=jnp.bfloat16)
     x = jax.random.normal(
         jax.random.PRNGKey(0), (B, X, Y, Z, cfg.in_channels), jnp.float32

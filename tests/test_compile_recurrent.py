@@ -115,6 +115,69 @@ def test_recurrent_bf16_tracks_plain_bf16():
     )
 
 
+def _rdc_parity(cfg, shape, atol=5e-5, rtol=1e-6, dtype=jnp.float32, zb=None):
+    from hcunet_tpu.infer.compile_recurrent import compile_rdcnet_apply
+    from hcunet_tpu.models.rdcnet import RDCNet
+
+    model = RDCNet(cfg)
+    x = jax.random.normal(
+        jax.random.PRNGKey(0), (1, *shape, cfg.in_channels), jnp.float32
+    )
+    variables = model.init(jax.random.PRNGKey(1), x)
+    want = model.apply(variables, x, train=False)
+    got = compile_rdcnet_apply(model, variables, dtype=dtype, zb=zb)(x)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=atol, rtol=rtol
+    )
+
+
+def test_rdcnet_packed_parity_default():
+    """Production RDCNet geometry: c=10, 10 timesteps, z=10 -> half-z 5,
+    zb 5 (VERDICT r3 #5 — the dilated 5^3 convs pack as strided z-block
+    taps).  Ten residual accumulations at random-init magnitudes (~80)
+    leave only f32-reorder rounding headroom -> relative tolerance."""
+    from hcunet_tpu.config import RDCNetConfig
+
+    _rdc_parity(
+        RDCNetConfig(timesteps=10), (16, 16, 10), atol=1e-3, rtol=2e-3
+    )
+
+
+def test_rdcnet_packed_parity_z12_and_explicit_zb():
+    from hcunet_tpu.config import RDCNetConfig
+
+    cfg = RDCNetConfig(timesteps=2)
+    _rdc_parity(cfg, (16, 16, 12), zb=3)
+    _rdc_parity(cfg, (16, 16, 12), zb=6)
+
+
+def test_rdcnet_packed_parity_odd_z():
+    """z=9 -> half-z 5; z=7 -> half-z 4."""
+    from hcunet_tpu.config import RDCNetConfig
+
+    cfg = RDCNetConfig(timesteps=2)
+    _rdc_parity(cfg, (16, 16, 9))
+    _rdc_parity(cfg, (16, 16, 7))
+
+
+def test_rdcnet_dispatched_by_compile_recurrent_apply():
+    """compile_recurrent_apply must route RDCNet to the packed path (the
+    round-3 silent plain-scan fallback is gone)."""
+    from hcunet_tpu.config import RDCNetConfig
+    from hcunet_tpu.models.rdcnet import RDCNet
+
+    cfg = RDCNetConfig(timesteps=2)
+    model = RDCNet(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 10, 4))
+    variables = model.init(jax.random.PRNGKey(1), x)
+    got = compile_recurrent_apply(model, variables, dtype=jnp.float32)(x)
+    want = model.apply(variables, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=5e-5
+    )
+
+
 def test_recurrent_fallback_odd_xy():
     """x/y not divisible by 4 -> plain apply (bit-identical)."""
     cfg = RUNetConfig(timesteps=2)
