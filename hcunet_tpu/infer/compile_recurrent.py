@@ -34,7 +34,9 @@ Measured (v5e, 256^2 x 10, 10 timesteps, bf16, B=1): plain ``nn.scan``
 912.7 ms/vol = 0.72 MVx/s; packed+subpixel plan (5,2,2) 397.6 ms =
 1.65 MVx/s (2.3x); the packed program runs ~29% MXU — at XLA's conv-codegen
 ceiling on this chip (BASELINE.md roofline), so further gains come from
-batching volumes, not formulation.
+batching volumes, not formulation.  ``split_x=2`` batches the volume with
+itself (two overlapping x-halves, per-timestep halo exchange of the
+carries): 2.40 MVx/s at B=1 (2.75 at z=12), bit-identical output.
 """
 
 from __future__ import annotations
@@ -215,6 +217,23 @@ def _run_tconv(x: _Packed, e: Dict, dtype) -> _Packed:
     )
 
 
+def _halo_refresh(arr: jnp.ndarray, halo: int) -> jnp.ndarray:
+    """Refresh the seam halos of a volume split into two x-tiles.
+
+    ``arr[0]`` is the left tile (global columns ``[0, Xh+halo)``), ``arr[1]``
+    the right (``[Xh-halo, X)``), ``Xh = X//2 = arr.shape[1]-halo``.  Each
+    tile's outermost ``halo`` columns at the seam are overwritten with the
+    other tile's *interior* values at the same global positions — the
+    standard halo-exchange step, done here as in-chip slicing (on a mesh
+    this is the ``ppermute``; at B=2-on-one-chip it's free data movement).
+    """
+    left, right = arr[0], arr[1]
+    core = arr.shape[1] - halo  # = Xh
+    new_left = jnp.concatenate([left[:core], right[halo:2 * halo]], axis=0)
+    new_right = jnp.concatenate([left[core - halo:core], right[halo:]], axis=0)
+    return jnp.stack([new_left, new_right], axis=0)
+
+
 def _pool_xy(x: _Packed) -> _Packed:
     d = x.data
     out = jnp.maximum(d[:, 0::2, 0::2], d[:, 1::2, 0::2])
@@ -249,6 +268,8 @@ def compile_recurrent_apply(
     zb_cap: int = 10,
     zb_plan: Optional[tuple] = None,
     subpixel_tconv: bool = True,
+    split_x: int = 1,
+    halo_x: int = 32,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Build the packed inference forward for :class:`RecursiveUNet`.
 
@@ -256,6 +277,19 @@ def compile_recurrent_apply(
     equivalent to ``model.apply(variables, image, train=False)`` up to
     BN-folding rounding.  Falls back to plain apply for geometries the
     packer doesn't cover (non-(2,2,1) pool/stride, x/y not divisible by 4).
+
+    ``split_x=2`` (B=1 only): run the volume as two overlapping x-halves
+    batched on the leading dim, exchanging ``halo_x`` seam columns of both
+    carries at each timestep (VERDICT r3 #8 — the B=1 packed program idles
+    the MXU ~71%, and B=2 recovers ~1.9x per-volume efficiency, which beats
+    the (X/2+halo)/(X/2) compute inflation).  Exact for the tile interiors
+    when ``halo_x`` covers the one-timestep receptive radius — measured 28
+    columns for the reference k=3 geometry (perturbation probe, 2026-08-18),
+    so the default 32 keeps the output identical to the unsplit program up
+    to conv-tiling reassociation (parity-tested).  Requires the k=3 kernel
+    (the radius is a constant of that geometry), ``X % 8 == 0`` and
+    ``(X//2 - halo_x) % 4 == 0`` so pool/parity grids stay aligned to the
+    global ones; anything else falls back to the unsplit packed program.
     """
     cfg = model.config
     plain = jax.tree_util.Partial(
@@ -380,6 +414,21 @@ def compile_recurrent_apply(
         B, X, Y, Z, C = image.shape
         if X % 4 or Y % 4:
             return plain(image)
+        use_split = (
+            split_x == 2
+            and B == 1
+            and tuple(cfg.kernel) == (3, 3, 3)  # halo sized for this radius
+            and halo_x % 4 == 0
+            and X % 8 == 0
+            and (X // 2 - halo_x) % 4 == 0
+            and X // 2 > halo_x
+        )
+        if use_split:
+            xh = X // 2
+            image = jnp.stack(
+                [image[0, : xh + halo_x], image[0, xh - halo_x :]], axis=0
+            )  # [2, Xh+halo, Y, Z, C]
+            B, X = 2, xh + halo_x
         pk = packed_for(int(Z))
         zb0, zb1 = pk["zb0"], pk["zb1"]
 
@@ -393,6 +442,9 @@ def compile_recurrent_apply(
 
         def body(carry, _):
             s_d, h_d = carry
+            if use_split:
+                s_d = _halo_refresh(s_d, halo_x)
+                h_d = _halo_refresh(h_d, halo_x // 2)
             x = _Packed(
                 jnp.concatenate([img_p, s_d], axis=-1),
                 zb0, C + cfg.out_channels, Z,
@@ -421,6 +473,10 @@ def compile_recurrent_apply(
         (s_T, _h_T), _ = lax.scan(
             body, (s0, h0), None, length=cfg.timesteps
         )
+        if use_split:
+            s_T = jnp.concatenate(
+                [s_T[0, :xh], s_T[1, halo_x:]], axis=0
+            )[None]
         out = unpack_volume(s_T, zb0, Z, cfg.out_channels)
         return out.astype(jnp.float32)
 

@@ -69,6 +69,7 @@ def main():
 
     if "--plain-only" not in sys.argv:
         plans = [None]
+        split = 2 if "--split" in sys.argv else 1
         for a in sys.argv[1:]:
             if a.startswith("--plan="):
                 plans = [
@@ -78,10 +79,14 @@ def main():
         for plan in plans:
             packed = jax.jit(
                 compile_recurrent_apply(
-                    model, variables, dtype=jnp.bfloat16, zb_plan=plan
+                    model, variables, dtype=jnp.bfloat16, zb_plan=plan,
+                    split_x=split,
                 )
             )
-            bench(packed, x, f"packed serving bf16 plan={plan}")
+            label = f"packed serving bf16 plan={plan}" + (
+                " split-x" if split == 2 else ""
+            )
+            bench(packed, x, label)
 
 
 if __name__ == "__main__":
