@@ -120,6 +120,50 @@ def collect_cell_candidates(
     return candidates if candidates is not None else empty_candidates()
 
 
+class ShardedDetect:
+    """Data-parallel detection over a ``jax.sharding.Mesh``.
+
+    The reference loops z-planes sequentially through the detector
+    (``hcat/segment.py:181-192``); this engine batches them (module
+    docstring), and on a mesh the batch dim shards over EVERY device —
+    detection is embarrassingly parallel over z-planes (each plane's
+    RPN/RoI/NMS is self-contained), so the per-plane computation is
+    untouched and the collected candidates are identical to single-device
+    (tested: ``test_analyze_sharded_detection_matches_single_device``).
+
+    Duck-types the ``detector.detect(variables, batch)`` call that
+    :func:`dispatch_cell_candidates` makes; the batch is zero-padded up to
+    a multiple of the device count (padded rows land beyond the real ``Z``
+    that collect iterates, so they are dropped for free).  Variables are
+    placed replicated once at construction.
+    """
+
+    def __init__(self, detector, variables, mesh):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        self.n = int(np.prod(list(mesh.shape.values())))
+        batch_sh = NamedSharding(mesh, PartitionSpec(tuple(mesh.axis_names)))
+        rep = NamedSharding(mesh, PartitionSpec())
+        vars_r = jax.device_put(variables, rep)
+
+        def fn(images):
+            images = jax.lax.with_sharding_constraint(images, batch_sh)
+            return detector.detect(vars_r, images)
+
+        self._fn = jax.jit(fn)
+
+    def detect(self, _variables, images):
+        Z = images.shape[0]
+        Zp = -(-Z // self.n) * self.n
+        if Zp != Z:
+            images = jnp.concatenate(
+                [images, jnp.zeros((Zp - Z, *images.shape[1:]), images.dtype)],
+                axis=0,
+            )
+        return self._fn(images)
+
+
 def predict_cell_candidates(
     image: np.ndarray,
     detector,
