@@ -490,9 +490,22 @@ def compile_rdcnet_apply(
     dtype: Any = jnp.bfloat16,
     zb: Optional[int] = None,
     zb_cap: int = 10,
+    split_x: int = 1,
+    halo_x: int = 12,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Packed inference forward for :class:`~hcunet_tpu.models.rdcnet.RDCNet`
     (VERDICT r3 #5).
+
+    ``split_x=2`` (B=1 only): as for the RecursiveUNet path, the recurrence
+    runs as two overlapping x-halves batched on the leading dim — here the
+    split happens AFTER the stride-2 in-conv (the recurrence lives at half
+    resolution), the constant ``x`` tile is exact by construction and only
+    the carried ``y`` exchanges ``halo_x`` half-res seam columns per
+    iteration.  One iteration's receptive radius is the widest dilated
+    tap, ``2*d_max = 10`` half-res columns (``hcat/r_unet.py:348-356``), so
+    the default 12 keeps interiors exact; output/up convs run on the
+    reassembled full tensor.  Bit-identical to the unsplit program at f32
+    (parity-tested).
 
     The 10-iteration recurrence (``hcat/r_unet.py:219-226``) runs at
     ``complexity`` = 10 channels — 8% MXU lane use.  The scan body packs
@@ -575,11 +588,26 @@ def compile_rdcnet_apply(
         pk = packed_for(z2)
         zb_ = pk["zb"]
 
+        xh2 = int(x_half.shape[1]) // 2  # half-res tile core width
+        use_split = (
+            split_x == 2
+            and B == 1
+            and x_half.shape[1] % 2 == 0
+            and xh2 > halo_x > 0
+        )
+        if use_split:
+            x_half = jnp.stack(
+                [x_half[0, : xh2 + halo_x], x_half[0, xh2 - halo_x :]],
+                axis=0,
+            )  # [2, xh2+halo, Y/2, z2, c] — exact by construction
+
         xp = pack_volume(x_half.astype(dtype), zb_)
         y0 = jnp.zeros_like(xp)
 
         def body(carry, _):
             xd, yd = carry
+            if use_split:
+                yd = _halo_refresh(yd, halo_x)
             # cat(x, y) on channels == lane concat (c-major segments)
             x = _Packed(
                 jnp.concatenate([xd, yd], axis=-1), zb_, 2 * c, z2
@@ -609,6 +637,10 @@ def compile_rdcnet_apply(
             return (xd, m.data + yd), None
 
         (_, y_T), _ = lax.scan(body, (xp, y0), None, length=cfg.timesteps)
+        if use_split:
+            y_T = jnp.concatenate(
+                [y_T[0, :xh2], y_T[1, halo_x:]], axis=0
+            )[None]
         y = unpack_volume(y_T, zb_, z2, c).astype(dtype)
         y = conv_same(y, w_out.astype(dtype), b_out.astype(dtype), padding=1)
         return conv_transpose_torch(

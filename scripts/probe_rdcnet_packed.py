@@ -65,13 +65,18 @@ def main():
         bench(lambda t: plain(variables, t), "plain nn.scan bf16")
 
     if "--plain-only" not in sys.argv:
+        split = 2 if "--split" in sys.argv else 1
         for zb in zbs:
             packed = jax.jit(
                 compile_rdcnet_apply(
-                    model, variables, dtype=jnp.bfloat16, zb=zb
+                    model, variables, dtype=jnp.bfloat16, zb=zb,
+                    split_x=split,
                 )
             )
-            bench(packed, f"packed serving bf16 zb={zb}")
+            label = f"packed serving bf16 zb={zb}" + (
+                " split-x" if split == 2 else ""
+            )
+            bench(packed, label)
 
 
 if __name__ == "__main__":

@@ -201,6 +201,31 @@ def test_recurrent_split_x_bit_identical():
     assert np.abs(np.asarray(leaky - want)).max() > 1e-4
 
 
+def test_rdcnet_split_x_bit_identical():
+    """RDCNet split_x=2: the half-res recurrence runs as two overlapping
+    x-tiles, exchanging 12 seam columns of the carried y per iteration
+    (12 >= the widest dilated tap's reach, 2*d_max = 10).  Bit-identical
+    to the unsplit packed program at f32; an undersized halo must leak."""
+    from hcunet_tpu.config import RDCNetConfig
+    from hcunet_tpu.infer.compile_recurrent import compile_rdcnet_apply
+    from hcunet_tpu.models.rdcnet import RDCNet
+
+    cfg = RDCNetConfig(timesteps=4)
+    model = RDCNet(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 96, 32, 10, 4))
+    variables = model.init(jax.random.PRNGKey(1), x[:, :32, :32])
+    want = compile_rdcnet_apply(model, variables, dtype=jnp.float32)(x)
+    got = compile_rdcnet_apply(
+        model, variables, dtype=jnp.float32, split_x=2
+    )(x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    leaky = compile_rdcnet_apply(
+        model, variables, dtype=jnp.float32, split_x=2, halo_x=8
+    )(x)
+    assert np.abs(np.asarray(leaky - want)).max() > 1e-4
+
+
 def test_recurrent_fallback_odd_xy():
     """x/y not divisible by 4 -> plain apply (bit-identical)."""
     cfg = RUNetConfig(timesteps=2)
