@@ -299,6 +299,7 @@ def compile_recurrent_apply(
         return compile_rdcnet_apply(
             model, variables, dtype=dtype, zb_cap=zb_cap,
             zb=(zb_plan[0] if zb_plan else None),
+            split_x=split_x,
         )
     if (
         not isinstance(cfg, RUNetConfig)
