@@ -273,6 +273,56 @@ def _fit_unet_to_scene(model, variables, vol, truth, steps=40):
     return fitted
 
 
+TORCH_CPU_RUNET_MVX_S = 0.0118  # scripts/measure_recurrent_baseline.py
+
+
+def recurrent_main():
+    """Recurrent-family serving metric: RecursiveUNet (10 timesteps) at
+    B=1 on 256²x10 through the packed compiler with split-X halo-exchange
+    batching — the reference's single-volume r_unet usage pattern
+    (``hcat/r_unet.py:135-160``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hcunet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from hcunet_tpu.config import RUNetConfig
+    from hcunet_tpu.infer.compile_recurrent import compile_recurrent_apply
+    from hcunet_tpu.models.runet import RecursiveUNet
+
+    cfg = RUNetConfig(timesteps=10)
+    model = RecursiveUNet(cfg, dtype=jnp.bfloat16)
+    x = jax.random.normal(
+        jax.random.PRNGKey(0), (1, 256, 256, 10, cfg.in_channels), jnp.float32
+    )
+    variables = model.init(jax.random.PRNGKey(1), x[:, :32, :32], train=False)
+    apply_fn = jax.jit(
+        compile_recurrent_apply(
+            model, variables, dtype=jnp.bfloat16, split_x=2
+        )
+    )
+
+    float(jnp.sum(apply_fn(x)))  # compile + warm
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(jnp.sum(apply_fn(x)))
+        times.append(time.perf_counter() - t0)
+    value = 256 * 256 * 10 / 1e6 / min(times)
+    print(
+        json.dumps(
+            {
+                "metric": "recurrent_packed_serving",
+                "value": round(value, 3),
+                "unit": "MVx/s",
+                "vs_baseline": round(value / TORCH_CPU_RUNET_MVX_S, 1),
+            }
+        )
+    )
+
+
 def pipeline_main():
     import shutil
     import tempfile
@@ -362,10 +412,13 @@ def run(argv=None) -> int:
         jobs = [("analyze_pipeline_end_to_end", pipeline_main)]
     elif "--headline" in argv or "--plain" in argv:
         jobs = [("tiled_unet3d_inference", main)]
+    elif "--recurrent" in argv:
+        jobs = [("recurrent_packed_serving", recurrent_main)]
     else:
         jobs = [
             ("tiled_unet3d_inference", main),
             ("analyze_pipeline_end_to_end", pipeline_main),
+            ("recurrent_packed_serving", recurrent_main),
         ]
     if not backend_available():
         for metric, _fn in jobs:
