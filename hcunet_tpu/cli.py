@@ -185,6 +185,8 @@ def main(argv=None):
                    help="benchmark only the full analyze() pipeline")
     p.add_argument("--headline", action="store_true",
                    help="benchmark only the tiled-inference headline")
+    p.add_argument("--recurrent", action="store_true",
+                   help="benchmark only the recurrent packed serving")
     args = parser.parse_args(argv)
 
     if args.cmd == "bench":
@@ -195,6 +197,8 @@ def main(argv=None):
             flags.append("--pipeline")
         if args.headline:
             flags.append("--headline")
+        if args.recurrent:
+            flags.append("--recurrent")
         return bench.run(flags)
 
     if args.cmd == "preprocess":
