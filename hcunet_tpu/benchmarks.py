@@ -300,7 +300,7 @@ def recurrent_main():
     variables = model.init(jax.random.PRNGKey(1), x[:, :32, :32], train=False)
     apply_fn = jax.jit(
         compile_recurrent_apply(
-            model, variables, dtype=jnp.bfloat16, split_x=2
+            model, variables, dtype=jnp.bfloat16, split_x=4
         )
     )
 

@@ -101,12 +101,13 @@ def _add_predict_recurrent(sub):
                    help="writes <stem>.recurrent.npy per input")
     p.add_argument("--no-packed", action="store_true",
                    help="bypass the packed serving compiler")
-    p.add_argument("--split-x", action="store_true",
-                   help="single-volume latency mode: run each volume as two "
-                        "overlapping x-halves batched on the leading dim "
-                        "with per-timestep halo exchange (bit-identical; "
-                        "RecursiveUNet 1.65->2.40, RDCNet 6.9->8.8 MVx/s "
-                        "at B=1 on v5e)")
+    p.add_argument("--split-x", type=int, nargs="?", const=4, default=0,
+                   metavar="N",
+                   help="single-volume latency mode: run each volume as N "
+                        "(default 4) overlapping x-tiles batched on the "
+                        "leading dim with per-timestep halo exchange "
+                        "(bit-identical; RecursiveUNet 1.65->2.64, RDCNet "
+                        "6.9->10.1 MVx/s at B=1/N=4 on v5e)")
 
 
 def _add_train_rcnn(sub):
@@ -462,7 +463,7 @@ def _cmd_predict_recurrent(args):
         apply_fn = jax.tree_util.Partial(
             compile_recurrent_apply(
                 model, variables, dtype=jnp.bfloat16,
-                split_x=2 if args.split_x else 1,
+                split_x=args.split_x if args.split_x else 1,
             )
         )
 

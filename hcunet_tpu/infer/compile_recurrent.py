@@ -34,9 +34,10 @@ Measured (v5e, 256^2 x 10, 10 timesteps, bf16, B=1): plain ``nn.scan``
 912.7 ms/vol = 0.72 MVx/s; packed+subpixel plan (5,2,2) 397.6 ms =
 1.65 MVx/s (2.3x); the packed program runs ~29% MXU — at XLA's conv-codegen
 ceiling on this chip (BASELINE.md roofline), so further gains come from
-batching volumes, not formulation.  ``split_x=2`` batches the volume with
-itself (two overlapping x-halves, per-timestep halo exchange of the
-carries): 2.40 MVx/s at B=1 (2.75 at z=12), bit-identical output.
+batching volumes, not formulation.  ``split_x=n`` batches the volume with
+itself (n overlapping x-tiles, per-timestep halo exchange of the
+carries): 2.40 MVx/s at B=1 with n=2 (2.75 at z=12), 2.64 with n=4;
+RDCNet 8.80 (n=2) / 10.10 (n=4) — bit-identical output.
 """
 
 from __future__ import annotations
@@ -217,21 +218,79 @@ def _run_tconv(x: _Packed, e: Dict, dtype) -> _Packed:
     )
 
 
-def _halo_refresh(arr: jnp.ndarray, halo: int) -> jnp.ndarray:
-    """Refresh the seam halos of a volume split into two x-tiles.
+def _split_offsets(n: int, core: int, tile: int):
+    """Global start column of each tile window.
 
-    ``arr[0]`` is the left tile (global columns ``[0, Xh+halo)``), ``arr[1]``
-    the right (``[Xh-halo, X)``), ``Xh = X//2 = arr.shape[1]-halo``.  Each
-    tile's outermost ``halo`` columns at the seam are overwritten with the
-    other tile's *interior* values at the same global positions — the
-    standard halo-exchange step, done here as in-chip slicing (on a mesh
-    this is the ``ppermute``; at B=2-on-one-chip it's free data movement).
+    Tiles 0 and n-1 start flush with the true volume edges (their outer
+    boundary must stay the real edge so the same-pad convs' implicit zero
+    padding matches the unsplit program at every layer); interior tiles
+    center their halos around their owned core."""
+    X = n * core
+    return [0] + [i * core - (tile - core) // 2 for i in range(1, n - 1)] + (
+        [X - tile] if n > 1 else []
+    )
+
+
+def _halo_refresh(arr: jnp.ndarray, halo: int) -> jnp.ndarray:
+    """Refresh the seam halos of a volume split into ``n`` x-tiles.
+
+    ``arr[j]`` holds global columns ``[offs[j], offs[j]+tile)`` where tile
+    ``j`` *owns* ``[j*core, (j+1)*core)``; ``tile = core + halo`` at n=2
+    (one seam each) and ``core + 2*halo`` at n>=3 (interior tiles have
+    two).  Every column a tile holds but does not own is overwritten with
+    the owner tile's value at the same global position — the standard
+    halo-exchange step, done here as in-chip slicing (on a mesh this is
+    the ``ppermute``; batched-on-one-chip it's free data movement).
+    Owned columns sit >= ``halo`` from every fake tile edge, so as long as
+    ``halo`` covers the one-step receptive radius they are exact.
     """
-    left, right = arr[0], arr[1]
-    core = arr.shape[1] - halo  # = Xh
-    new_left = jnp.concatenate([left[:core], right[halo:2 * halo]], axis=0)
-    new_right = jnp.concatenate([left[core - halo:core], right[halo:]], axis=0)
-    return jnp.stack([new_left, new_right], axis=0)
+    n, tile = int(arr.shape[0]), int(arr.shape[1])
+    core = tile - (2 * halo if n >= 3 else halo)
+    X = n * core
+    offs = _split_offsets(n, core, tile)
+
+    def owned(g0: int, g1: int):
+        """Concat of owner-tile slices covering global columns [g0, g1)."""
+        segs = []
+        g = g0
+        while g < g1:
+            j = min(g // core, n - 1)
+            g2 = min(g1, (j + 1) * core) if j < n - 1 else g1
+            segs.append(arr[j, g - offs[j]: g2 - offs[j]])
+            g = g2
+        return segs
+
+    tiles = []
+    for j in range(n):
+        o0, o1 = j * core, (j + 1) * core
+        segs = owned(offs[j], o0)  # left halo (empty for tile 0)
+        segs.append(arr[j, o0 - offs[j]: o1 - offs[j]])  # own core, kept
+        segs += owned(o1, offs[j] + tile)  # right halo (empty for last)
+        tiles.append(jnp.concatenate(segs, axis=0) if len(segs) > 1
+                     else segs[0])
+    return jnp.stack(tiles, axis=0)
+
+
+def _split_stack(vol: jnp.ndarray, n: int, tile: int, core: int):
+    """[X, ...] volume -> [n, tile, ...] overlapping x-tiles."""
+    offs = _split_offsets(n, core, tile)
+    return jnp.stack([vol[o: o + tile] for o in offs], axis=0)
+
+
+def _split_unstack(arr: jnp.ndarray, halo: int) -> jnp.ndarray:
+    """[n, tile, ...] tiles -> [1, X, ...]: crop each tile to its owned
+    core and concatenate."""
+    n, tile = int(arr.shape[0]), int(arr.shape[1])
+    core = tile - (2 * halo if n >= 3 else halo)
+    segs = []
+    for j in range(n):
+        if j == 0:
+            segs.append(arr[j, :core])
+        elif j == n - 1:
+            segs.append(arr[j, tile - core:])
+        else:
+            segs.append(arr[j, halo: halo + core])
+    return jnp.concatenate(segs, axis=0)[None]
 
 
 def _pool_xy(x: _Packed) -> _Packed:
@@ -278,18 +337,21 @@ def compile_recurrent_apply(
     BN-folding rounding.  Falls back to plain apply for geometries the
     packer doesn't cover (non-(2,2,1) pool/stride, x/y not divisible by 4).
 
-    ``split_x=2`` (B=1 only): run the volume as two overlapping x-halves
+    ``split_x=n`` (B=1 only): run the volume as ``n`` overlapping x-tiles
     batched on the leading dim, exchanging ``halo_x`` seam columns of both
     carries at each timestep (VERDICT r3 #8 — the B=1 packed program idles
-    the MXU ~71%, and B=2 recovers ~1.9x per-volume efficiency, which beats
-    the (X/2+halo)/(X/2) compute inflation).  Exact for the tile interiors
-    when ``halo_x`` covers the one-timestep receptive radius — measured 28
-    columns for the reference k=3 geometry (perturbation probe, 2026-08-18),
-    so the default 32 keeps the output identical to the unsplit program up
-    to conv-tiling reassociation (parity-tested).  Requires the k=3 kernel
-    (the radius is a constant of that geometry), ``X % 8 == 0`` and
-    ``(X//2 - halo_x) % 4 == 0`` so pool/parity grids stay aligned to the
-    global ones; anything else falls back to the unsplit packed program.
+    the MXU ~71%, and batching recovers ~1.9-3.3x per-volume efficiency,
+    which beats the halo compute inflation).  Edge tiles keep the true
+    volume edges (so each layer's implicit zero padding matches the
+    unsplit program); interior tiles (n>=3) carry two-sided halos.  Exact
+    for the tile interiors when ``halo_x`` covers the one-timestep
+    receptive radius — measured 28 columns for the reference k=3 geometry
+    (perturbation probe, 2026-08-18), so the default 32 keeps the output
+    identical to the unsplit program (parity-tested, bit-exact at f32).
+    Requires the k=3 kernel (the radius is a constant of that geometry),
+    ``X % n == 0``, core and halo multiples of 4 (pool/parity grid
+    alignment), and core >= the per-tile halo total; anything else falls
+    back to the unsplit packed program.
     """
     cfg = model.config
     plain = jax.tree_util.Partial(
@@ -415,21 +477,20 @@ def compile_recurrent_apply(
         B, X, Y, Z, C = image.shape
         if X % 4 or Y % 4:
             return plain(image)
+        n_split = int(split_x)
+        core = X // n_split if (n_split >= 2 and X % n_split == 0) else 0
+        tile_w = core + (2 * halo_x if n_split >= 3 else halo_x)
         use_split = (
-            split_x == 2
+            n_split >= 2
             and B == 1
             and tuple(cfg.kernel) == (3, 3, 3)  # halo sized for this radius
             and halo_x % 4 == 0
-            and X % 8 == 0
-            and (X // 2 - halo_x) % 4 == 0
-            and X // 2 > halo_x
+            and core % 4 == 0
+            and core >= (2 * halo_x if n_split >= 3 else halo_x)
         )
         if use_split:
-            xh = X // 2
-            image = jnp.stack(
-                [image[0, : xh + halo_x], image[0, xh - halo_x :]], axis=0
-            )  # [2, Xh+halo, Y, Z, C]
-            B, X = 2, xh + halo_x
+            image = _split_stack(image[0], n_split, tile_w, core)
+            B, X = n_split, tile_w
         pk = packed_for(int(Z))
         zb0, zb1 = pk["zb0"], pk["zb1"]
 
@@ -475,9 +536,7 @@ def compile_recurrent_apply(
             body, (s0, h0), None, length=cfg.timesteps
         )
         if use_split:
-            s_T = jnp.concatenate(
-                [s_T[0, :xh], s_T[1, halo_x:]], axis=0
-            )[None]
+            s_T = _split_unstack(s_T, halo_x)
         out = unpack_volume(s_T, zb0, Z, cfg.out_channels)
         return out.astype(jnp.float32)
 
@@ -497,16 +556,17 @@ def compile_rdcnet_apply(
     """Packed inference forward for :class:`~hcunet_tpu.models.rdcnet.RDCNet`
     (VERDICT r3 #5).
 
-    ``split_x=2`` (B=1 only): as for the RecursiveUNet path, the recurrence
-    runs as two overlapping x-halves batched on the leading dim — here the
+    ``split_x=n`` (B=1 only): as for the RecursiveUNet path, the recurrence
+    runs as ``n`` overlapping x-tiles batched on the leading dim — here the
     split happens AFTER the stride-2 in-conv (the recurrence lives at half
-    resolution), the constant ``x`` tile is exact by construction and only
+    resolution), the constant ``x`` tiles are exact by construction and only
     the carried ``y`` exchanges ``halo_x`` half-res seam columns per
-    iteration.  One iteration's receptive radius is the widest dilated
-    tap, ``2*d_max = 10`` half-res columns (``hcat/r_unet.py:348-356``), so
-    the default 12 keeps interiors exact; output/up convs run on the
-    reassembled full tensor.  Bit-identical to the unsplit program at f32
-    (parity-tested).
+    iteration (interior tiles two-sided).  One iteration's receptive radius
+    is the widest dilated tap, ``2*d_max = 10`` half-res columns
+    (``hcat/r_unet.py:348-356``), so the default 12 keeps interiors exact;
+    output/up convs run on the reassembled full tensor.  Bit-identical to
+    the unsplit program at f32 (parity-tested).  Measured v5e bf16
+    256²x10 B=1: 6.90 unsplit, 8.80 n=2, 10.10 n=4 MVx/s.
 
     The 10-iteration recurrence (``hcat/r_unet.py:219-226``) runs at
     ``complexity`` = 10 channels — 8% MXU lane use.  The scan body packs
@@ -589,18 +649,20 @@ def compile_rdcnet_apply(
         pk = packed_for(z2)
         zb_ = pk["zb"]
 
-        xh2 = int(x_half.shape[1]) // 2  # half-res tile core width
+        xh = int(x_half.shape[1])  # half-res width
+        n_split = int(split_x)
+        core = xh // n_split if (n_split >= 2 and xh % n_split == 0) else 0
+        tile_w = core + (2 * halo_x if n_split >= 3 else halo_x)
         use_split = (
-            split_x == 2
+            n_split >= 2
             and B == 1
-            and x_half.shape[1] % 2 == 0
-            and xh2 > halo_x > 0
+            and halo_x > 0
+            and core >= (2 * halo_x if n_split >= 3 else halo_x)
         )
         if use_split:
-            x_half = jnp.stack(
-                [x_half[0, : xh2 + halo_x], x_half[0, xh2 - halo_x :]],
-                axis=0,
-            )  # [2, xh2+halo, Y/2, z2, c] — exact by construction
+            # split the half-res features — exact by construction (the
+            # stride-2 in-conv ran on the full volume)
+            x_half = _split_stack(x_half[0], n_split, tile_w, core)
 
         xp = pack_volume(x_half.astype(dtype), zb_)
         y0 = jnp.zeros_like(xp)
@@ -639,9 +701,7 @@ def compile_rdcnet_apply(
 
         (_, y_T), _ = lax.scan(body, (xp, y0), None, length=cfg.timesteps)
         if use_split:
-            y_T = jnp.concatenate(
-                [y_T[0, :xh2], y_T[1, halo_x:]], axis=0
-            )[None]
+            y_T = _split_unstack(y_T, halo_x)
         y = unpack_volume(y_T, zb_, z2, c).astype(dtype)
         y = conv_same(y, w_out.astype(dtype), b_out.astype(dtype), padding=1)
         return conv_transpose_torch(

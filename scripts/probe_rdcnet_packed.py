@@ -65,7 +65,12 @@ def main():
         bench(lambda t: plain(variables, t), "plain nn.scan bf16")
 
     if "--plain-only" not in sys.argv:
-        split = 2 if "--split" in sys.argv else 1
+        split = 1
+        for a in sys.argv[1:]:
+            if a == "--split":
+                split = 2
+            elif a.startswith("--split="):
+                split = int(a.split("=", 1)[1])
         for zb in zbs:
             packed = jax.jit(
                 compile_rdcnet_apply(

@@ -69,9 +69,13 @@ def main():
 
     if "--plain-only" not in sys.argv:
         plans = [None]
-        split = 2 if "--split" in sys.argv else 1
+        split = 1
         for a in sys.argv[1:]:
-            if a.startswith("--plan="):
+            if a == "--split":
+                split = 2
+            elif a.startswith("--split="):
+                split = int(a.split("=", 1)[1])
+            elif a.startswith("--plan="):
                 plans = [
                     tuple(int(v) for v in p.split(","))
                     for p in a.split("=", 1)[1].split(";")

@@ -193,6 +193,15 @@ def test_recurrent_split_x_bit_identical():
     )(x)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
+    # n-way split (interior tiles carry two-sided halos): x=256 so the
+    # n=4 core (64) clears the 2*halo requirement
+    x4 = jax.random.normal(jax.random.PRNGKey(2), (1, 256, 16, 10, 4))
+    want4 = compile_recurrent_apply(model, variables, dtype=jnp.float32)(x4)
+    got4 = compile_recurrent_apply(
+        model, variables, dtype=jnp.float32, split_x=4
+    )(x4)
+    np.testing.assert_array_equal(np.asarray(got4), np.asarray(want4))
+
     # engagement proof: an under-sized halo (20 < radius 28) must leak
     # seam error — if it doesn't, the split path silently fell back
     leaky = compile_recurrent_apply(
@@ -219,6 +228,15 @@ def test_rdcnet_split_x_bit_identical():
         model, variables, dtype=jnp.float32, split_x=2
     )(x)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # n=4 (interior tiles carry two-sided halos) needs half-res core >
+    # 2*halo: width 224 -> half-res 112 -> core 28 > 24
+    x4 = jax.random.normal(jax.random.PRNGKey(2), (1, 224, 16, 10, 4))
+    want4 = compile_rdcnet_apply(model, variables, dtype=jnp.float32)(x4)
+    got4 = compile_rdcnet_apply(
+        model, variables, dtype=jnp.float32, split_x=4
+    )(x4)
+    np.testing.assert_array_equal(np.asarray(got4), np.asarray(want4))
 
     leaky = compile_rdcnet_apply(
         model, variables, dtype=jnp.float32, split_x=2, halo_x=8
