@@ -329,6 +329,7 @@ def compile_recurrent_apply(
     subpixel_tconv: bool = True,
     split_x: int = 1,
     halo_x: int = 32,
+    mesh=None,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Build the packed inference forward for :class:`RecursiveUNet`.
 
@@ -352,6 +353,13 @@ def compile_recurrent_apply(
     ``X % n == 0``, core and halo multiples of 4 (pool/parity grid
     alignment), and core >= the per-tile halo total; anything else falls
     back to the unsplit packed program.
+
+    ``mesh`` (with ``split_x = n`` = its device count): the n tiles shard
+    over the mesh devices — one x-slab per chip — and the per-timestep
+    halo refresh's cross-tile slices lower to ICI collectives.  This is
+    the recurrent family's multi-chip spatial sharding, the moral
+    counterpart of the U-Net engine's ``sharded_tiled_forward``
+    (output-identical, tested on the 8-device virtual mesh).
     """
     cfg = model.config
     plain = jax.tree_util.Partial(
@@ -491,6 +499,15 @@ def compile_recurrent_apply(
         if use_split:
             image = _split_stack(image[0], n_split, tile_w, core)
             B, X = n_split, tile_w
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                # one x-slab per device; the halo refresh's cross-tile
+                # slices become ICI collectives under this constraint
+                image = jax.lax.with_sharding_constraint(
+                    image,
+                    NamedSharding(mesh, PartitionSpec(tuple(mesh.axis_names))),
+                )
         pk = packed_for(int(Z))
         zb0, zb1 = pk["zb0"], pk["zb1"]
 
@@ -501,6 +518,14 @@ def compile_recurrent_apply(
         )
         nb1 = -(-Z // zb1)
         h0 = jnp.ones((B, X // 2, Y // 2, nb1, c1 * zb1), dtype)
+        if use_split and mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            tiles_sh = NamedSharding(
+                mesh, PartitionSpec(tuple(mesh.axis_names))
+            )
+            s0 = jax.lax.with_sharding_constraint(s0, tiles_sh)
+            h0 = jax.lax.with_sharding_constraint(h0, tiles_sh)
 
         def body(carry, _):
             s_d, h_d = carry
