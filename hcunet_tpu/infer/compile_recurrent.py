@@ -369,7 +369,7 @@ def compile_recurrent_apply(
         return compile_rdcnet_apply(
             model, variables, dtype=dtype, zb_cap=zb_cap,
             zb=(zb_plan[0] if zb_plan else None),
-            split_x=split_x,
+            split_x=split_x, mesh=mesh,
         )
     if (
         not isinstance(cfg, RUNetConfig)
@@ -577,6 +577,7 @@ def compile_rdcnet_apply(
     zb_cap: int = 10,
     split_x: int = 1,
     halo_x: int = 12,
+    mesh=None,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Packed inference forward for :class:`~hcunet_tpu.models.rdcnet.RDCNet`
     (VERDICT r3 #5).
@@ -688,6 +689,15 @@ def compile_rdcnet_apply(
             # split the half-res features — exact by construction (the
             # stride-2 in-conv ran on the full volume)
             x_half = _split_stack(x_half[0], n_split, tile_w, core)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                # one slab per device; the per-iteration halo refresh's
+                # cross-tile slices lower to ICI collectives
+                x_half = jax.lax.with_sharding_constraint(
+                    x_half,
+                    NamedSharding(mesh, PartitionSpec(tuple(mesh.axis_names))),
+                )
 
         xp = pack_volume(x_half.astype(dtype), zb_)
         y0 = jnp.zeros_like(xp)

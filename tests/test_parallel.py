@@ -336,6 +336,32 @@ def test_recurrent_mesh_sharded_serving_matches_single_device():
     assert hlo.count("all-gather") == 0
 
 
+def test_rdcnet_mesh_sharded_serving_matches_single_device():
+    """Same mesh spatial sharding for RDCNet (half-res slabs, the carried
+    y exchanges 12-column halos per iteration over ICI)."""
+    from hcunet_tpu.config import RDCNetConfig
+    from hcunet_tpu.infer.compile_recurrent import compile_rdcnet_apply
+    from hcunet_tpu.models.rdcnet import RDCNet
+
+    mesh = make_mesh({SPATIAL_AXIS: 8})
+    cfg = RDCNetConfig(timesteps=2)
+    model = RDCNet(cfg)
+    # half-res width 256 -> 8 slabs of core 32 >= 2*halo 24
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 512, 16, 10, 4))
+    variables = model.init(jax.random.PRNGKey(1), x[:, :32, :32])
+
+    want = compile_rdcnet_apply(model, variables, dtype=jnp.float32)(x)
+    fn = jax.jit(
+        compile_rdcnet_apply(
+            model, variables, dtype=jnp.float32, split_x=8, mesh=mesh
+        )
+    )
+    got = fn(x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    hlo = fn.lower(x).compile().as_text()
+    assert hlo.count("collective-permute") > 0
+
+
 def test_unet_trainer_mesh_matches_single_device(small_cfg):
     """UNetTrainer(mesh=...) — the trainer-level productization — must track
     the single-device trainer's loss trajectory on identical global batches."""
