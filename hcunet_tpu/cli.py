@@ -37,6 +37,23 @@ def _add_analyze(sub):
     p.add_argument("--spatial-shards", type=int, default=1,
                    help="shard each chunk's X axis over this many devices "
                         "(ICI halo exchange)")
+    _add_transfer_flags(p)
+
+
+def _add_transfer_flags(p):
+    p.add_argument("--prob-dtype", default="float32",
+                   choices=("float32", "uint16", "bfloat16"),
+                   help="device->host dtype for the probability map: "
+                        "float32 = exact (default); uint16 = fixed-point "
+                        "transfer diet, 2 B/voxel at <=7.6e-5 max error — "
+                        "the remote-tunnel link serializes h2d+d2h, so "
+                        "halved bytes convert ~1:1 into wall time "
+                        "(BASELINE.md link characterization)")
+    p.add_argument("--tail-workers", type=int, default=1,
+                   help="concurrent host-side chunk tails (detection "
+                        "collect + instance watershed); >1 keeps floods "
+                        "from consecutive chunks running while the device "
+                        "works — output is order-preserved and identical")
 
 
 def _add_batch(sub):
@@ -48,6 +65,7 @@ def _add_batch(sub):
     p.add_argument("--retry-errors", action="store_true")
     p.add_argument("--spatial-shards", type=int, default=1,
                    help="shard each chunk's X axis over this many devices")
+    _add_transfer_flags(p)
 
 
 def _add_train_unet(sub):
@@ -270,8 +288,12 @@ def _cmd_analyze_like(args):
     from hcunet_tpu.infer.pipeline import analyze
 
     model, unet_apply, detector, det_vars = _load_models(args.unet, args.detector)
-    cfg = PipelineConfig(numchunks=args.numchunks, unet=model.config)
+    cfg = PipelineConfig(
+        numchunks=args.numchunks, unet=model.config,
+        prob_transfer_dtype=getattr(args, "prob_dtype", "float32"),
+    )
     mesh = _make_spatial_mesh(getattr(args, "spatial_shards", 1))
+    tail_workers = max(0, int(getattr(args, "tail_workers", 1)))
 
     if args.cmd == "analyze":
         import contextlib
@@ -287,6 +309,7 @@ def _cmd_analyze_like(args):
                 args.image, unet_apply=unet_apply, detector=detector,
                 detector_variables=det_vars, cfg=cfg, work_dir=out,
                 fit_cochlea=not args.no_cochlea, mesh=mesh,
+                overlap=tail_workers,
             )
         print(json.dumps({"cells": len(result.cells), "out": out}))
         return 0
@@ -297,7 +320,7 @@ def _cmd_analyze_like(args):
         analyze(
             img, unet_apply=unet_apply, detector=detector,
             detector_variables=det_vars, cfg=cfg, work_dir=out_dir,
-            mesh=mesh,
+            mesh=mesh, overlap=tail_workers,
         )
 
     results = run_batch(args.data_root, one, retry_errors=args.retry_errors)

@@ -207,11 +207,19 @@ class PipelineConfig:
     normalize_mean: Tuple[float, ...] = (0.5, 0.5, 0.5, 0.5)
     normalize_std: Tuple[float, ...] = (0.5, 0.5, 0.5, 0.5)
     # dtype the probability map rides device→host in.  "float32" (default)
-    # is the exact reference/round-2 behavior.  "bfloat16" halves the
-    # remote-tunnel transfer (the packed serving program computes in bf16
-    # anyway, so only the fused f32 blur/rescale tail is quantized to ~3
-    # significant digits) — opt in for throughput-sensitive deployments
-    # (the bench does; advisor r3 finding #3 flagged lossy-by-default).
+    # is the exact reference/round-2 behavior.  The host↔device link is the
+    # pipeline's binding constraint on a remote-tunnel TPU (measured: h2d
+    # 41.5 MB/s, d2h 17.3 MB/s, and the two directions SERIALIZE — see
+    # BASELINE.md "tunnel link characterization"), so halving the prob-map
+    # bytes converts ~1:1 into end-to-end wall time.  Two opt-in diets:
+    # * "uint16" — fixed-point over the epilogue's static [0, prob_scale]
+    #   range: 2 B/voxel, max abs error prob_scale/(2·65535) ≈ 7.6e-5
+    #   (≈7.6e-6 in probability units — below any watershed-relevant
+    #   precision; dominates bfloat16 at identical bytes).  Preferred.
+    # * "bfloat16" — 2 B/voxel, ~3 significant digits (~2e-3 rel near 1.0).
+    #   Kept for round-3 measurement lineage.
+    # Opt in for throughput-sensitive deployments (the bench and the
+    # production-scale runner do; advisor r3 #3 flagged lossy-by-default).
     prob_transfer_dtype: str = "float32"
     detection_channels: Tuple[int, ...] = (0, 2, 3)
     unet: UNetConfig = field(default_factory=UNetConfig.production_3d)

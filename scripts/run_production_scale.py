@@ -91,7 +91,11 @@ def worker(work_dir: str) -> None:
     det = Detector(dtype=jnp.bfloat16)
     det_vars = det.init(jax.random.PRNGKey(1), (512, 512))
     cfg = PipelineConfig(
-        numchunks=NUMCHUNKS, unet=ucfg, tiles=auto_tile_config(ucfg)
+        numchunks=NUMCHUNKS, unet=ucfg, tiles=auto_tile_config(ucfg),
+        # the d2h link is the production run's binding constraint (the
+        # tunnel serializes h2d+d2h at 41.5/17.3 MB/s — BASELINE.md);
+        # uint16 fixed-point halves prob_d2h at ≤7.6e-5 max error
+        prob_transfer_dtype=os.environ.get("HCUNET_PROB_DTYPE", "uint16"),
     )
     print("starting analyze", flush=True)
     t0 = time.perf_counter()

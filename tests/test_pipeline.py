@@ -99,6 +99,60 @@ def test_analyze_uint16_matches_float(tmp_path, tiny_models, rng):
         assert abs(ca.gfp_stats["mean"] - cb.gfp_stats["mean"]) < 1e-4
 
 
+def test_analyze_uint16_prob_transfer_matches_float32(tmp_path, tiny_models, rng):
+    """prob_transfer_dtype="uint16" (the transfer-diet default for remote
+    tunnels) must stay within one fixed-point quantum of the exact float32
+    path and produce the same instances/cells."""
+    unet_cfg, unet_apply, det, det_vars = tiny_models
+    volume = rng.random((64, 64, 6, 4)).astype(np.float32)
+    results = []
+    import dataclasses
+
+    for name, dtype in (("f32", "float32"), ("u16", "uint16")):
+        cfg = dataclasses.replace(
+            _pipeline_cfg(unet_cfg), prob_transfer_dtype=dtype
+        )
+        results.append(
+            analyze(
+                volume=volume, unet_apply=unet_apply, detector=det,
+                detector_variables=det_vars, cfg=cfg,
+                work_dir=str(tmp_path / name), fit_cochlea=False,
+            )
+        )
+    a, b = results
+    # one quantum = prob_scale / 65535 (values land on the fixed-point grid,
+    # round-to-nearest → half-quantum error; rtol for the f32 decode mul)
+    quantum = 10.0 / 65535.0
+    np.testing.assert_allclose(b.mask, a.mask, atol=0.75 * quantum, rtol=1e-6)
+    assert (a.unique_mask == b.unique_mask).mean() > 0.999
+    assert len(a.cells) == len(b.cells)
+    # bytes halve: the uint16 map is 2 B/voxel vs 4 B float32
+    assert b.stage_bytes["prob_d2h"] * 2 == a.stage_bytes["prob_d2h"]
+
+
+def test_analyze_multiworker_tails_match_sequential(tmp_path, tiny_models, rng):
+    """overlap=3 (three concurrent chunk-tail workers) must be bit-identical
+    to the fully sequential pipeline: chunk tails are independent and
+    ``pending`` preserves chunk order."""
+    unet_cfg, unet_apply, det, det_vars = tiny_models
+    volume = rng.random((96, 96, 6, 4)).astype(np.float32)
+    cfg = _pipeline_cfg(unet_cfg)
+    results = []
+    for name, ov in (("seq", False), ("w3", 3)):
+        results.append(
+            analyze(
+                volume=volume, unet_apply=unet_apply, detector=det,
+                detector_variables=det_vars, cfg=cfg,
+                work_dir=str(tmp_path / name), fit_cochlea=False, overlap=ov,
+            )
+        )
+    a, b = results
+    np.testing.assert_array_equal(a.mask, b.mask)
+    np.testing.assert_array_equal(a.unique_mask, b.unique_mask)
+    assert [c.unique_id for c in a.cells] == [c.unique_id for c in b.cells]
+    assert a.stage_bytes == b.stage_bytes
+
+
 def test_analyze_resumes_from_journal(tmp_path, tiny_models, rng):
     unet_cfg, unet_apply, det, det_vars = tiny_models
     volume = rng.random((64, 64, 6, 4)).astype(np.float32)
