@@ -137,6 +137,18 @@ def _add_train_rcnn(sub):
     p.add_argument("--gamma", type=float, default=0.997)
     p.add_argument("--scale", type=float, default=3.0)
     p.add_argument("--simple-class", action="store_true")
+    p.add_argument("--batch-size", type=int, default=1,
+                   help="samples per optimizer step (vmapped B=1 losses, "
+                        "gradients averaged; the reference is strictly "
+                        "batch=1)")
+    p.add_argument("--data-parallel", type=int, default=0,
+                   help="shard each global batch over N devices "
+                        "(data-axis mesh; batch size defaults to N)")
+    p.add_argument("--backbone", choices=("resnet50", "small"),
+                   default="resnet50",
+                   help="resnet50 = the reference's production architecture "
+                        "(hcat/rcnn.py:14-20); small = a light FPN trunk "
+                        "for quick runs")
 
 
 def _add_preprocess(sub):
@@ -536,16 +548,29 @@ def _cmd_train_rcnn(args):
     )
     n_classes = 3 if args.simple_class else 5
     cfg = DetectorConfig(num_classes=n_classes)
-    det = Detector(cfg)
+    det = Detector(cfg, backbone=args.backbone)
     img0, _ = ds[0]
     variables = det.init(jax.random.PRNGKey(0), img0.shape[1:3])
+    mesh = None
+    if args.data_parallel and args.data_parallel > 1:
+        from hcunet_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+        mesh = make_mesh(
+            {DATA_AXIS: args.data_parallel},
+            jax.devices()[: args.data_parallel],
+        )
+    batch = args.batch_size if args.batch_size > 1 else (
+        args.data_parallel if mesh is not None else 1
+    )
     trainer = DetectionTrainer(
         det, variables,
         DetectionTrainConfig(
             learning_rate=args.lr, gamma=args.gamma,
             classifier_scale=args.scale, epochs=args.epochs,
         ),
-        steps_per_epoch=len(ds),
+        steps_per_epoch=max(1, -(-len(ds) // max(batch, 1))),
+        mesh=mesh,
+        batch_size=batch,
     )
     trainer.fit(ds)
     save_checkpoint(args.out, trainer.variables, cfg)

@@ -46,10 +46,25 @@ class DetectionTrainer:
         variables: Dict,
         cfg: DetectionTrainConfig = DetectionTrainConfig(),
         steps_per_epoch: int = 1,
+        mesh=None,
+        batch_size: Optional[int] = None,
     ):
+        """``mesh``: a ``jax.sharding.Mesh`` — when given, the train step is
+        built by :func:`hcunet_tpu.parallel.train.make_sharded_train_step`:
+        a global batch of images shards over the ``data`` axis (one
+        reference-semantics B=1 loss per sample via ``vmap``, gradients
+        averaged by XLA's psum over ICI), large conv kernels shard over
+        ``model``.  ``batch_size`` (default: the mesh's data-axis size, or 1
+        without a mesh) turns on batched stepping even single-device — the
+        data-parallel trajectory is tested identical to it.  With batching,
+        the per-epoch ExponentialLR semantics need ``steps_per_epoch`` =
+        ceil(len(dataset)/batch_size).  Reference: the batch=1 epoch loop of
+        ``hcat/train/train_fastercnn_func.py:18-49`` — batching/sharding is
+        the TPU-native scaling lever the reference lacks."""
         self.det = detector
         self.cfg = cfg
         self.variables = variables
+        self.mesh = mesh
         if cfg.schedule == "cosine":
             if cfg.total_steps <= 0:
                 raise ValueError("schedule='cosine' requires total_steps > 0")
@@ -67,9 +82,26 @@ class DetectionTrainer:
                 staircase=True,
             )
         self.tx = optax.adamw(sched, weight_decay=cfg.weight_decay)
-        self.opt_state = self.tx.init(self._params())
         self.metrics = Metrics()
-        self._step = self._build_step()
+        self._state = None
+        if mesh is not None:
+            from hcunet_tpu.parallel.mesh import DATA_AXIS
+            from hcunet_tpu.parallel.train import make_sharded_train_step
+
+            self.batch_size = batch_size or int(mesh.shape.get(DATA_AXIS, 1))
+            init_fn, step_fn = make_sharded_train_step(
+                self._make_batched_loss(), self.tx, mesh, self._params()
+            )
+            trunk_stats = variables["trunk"].get("batch_stats", {})
+            self._state = init_fn(self._params(), trunk_stats)
+            self.opt_state = self._state.opt_state
+            self._sharded_step = step_fn
+            self._sync_from_state()
+        else:
+            self.batch_size = batch_size or 1
+            self.opt_state = self.tx.init(self._params())
+            self._step = self._build_step()
+            self._batched_step = None  # built on first train_step_batch
 
     def _params(self):
         return {
@@ -85,6 +117,68 @@ class DetectionTrainer:
         v["trunk"]["params"] = params["trunk"]
         v["head"]["params"] = params["head"]
         return v
+
+    def _sync_from_state(self):
+        self.variables = self._with_params(self._state.params)
+        self.variables["trunk"]["batch_stats"] = self._state.batch_stats
+        self.opt_state = self._state.opt_state
+
+    def _make_batched_loss(self):
+        """``(params, trunk_stats, batch) -> (mean loss, mean new stats)``
+        with ``batch = (images [B,H,W,3], boxes [B,G,4], labels [B,G],
+        valid [B,G])``.  Each sample runs the reference's B=1 loss
+        (``train_fastercnn_func.py:33-43`` semantics, classifier scaled)
+        under ``vmap``; running BN stats average across the batch."""
+        det, cfg = self.det, self.cfg
+
+        def single(params, trunk_stats, image, boxes, labels, valid):
+            variables = {
+                "trunk": {"params": params["trunk"], "batch_stats": trunk_stats},
+                "head": {"params": params["head"]},
+            }
+            losses, updates = det.losses(
+                variables, image[None], boxes, labels, valid, train=True
+            )
+            total = 0.0
+            for k, v in losses.items():
+                if k == "loss_classifier":
+                    v = v * cfg.classifier_scale
+                total = total + v
+            return total, updates.get("batch_stats", trunk_stats)
+
+        def loss_with_stats(params, trunk_stats, batch):
+            images, boxes, labels, valid = batch
+            totals, stats = jax.vmap(
+                lambda im, bx, lb, vd: single(params, trunk_stats, im, bx, lb, vd)
+            )(images, boxes, labels, valid)
+            new_stats = jax.tree_util.tree_map(
+                lambda s: s.mean(axis=0), stats
+            )
+            return totals.mean(), new_stats
+
+        return loss_with_stats
+
+    def _build_batched_step(self):
+        """Single-device jitted step over a [B, ...] batch — the unsharded
+        twin of the mesh step (used for trajectory-parity testing and for
+        B>1 training without a mesh)."""
+        loss_with_stats = self._make_batched_loss()
+
+        @jax.jit
+        def step(params, trunk_stats, opt_state, images, boxes, labels, valid):
+            def lf(p):
+                return loss_with_stats(
+                    p, trunk_stats, (images, boxes, labels, valid)
+                )
+
+            (total, new_stats), grads = jax.value_and_grad(lf, has_aux=True)(
+                params
+            )
+            upd, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, upd)
+            return params, new_stats, opt_state, total
+
+        return step
 
     def _build_step(self):
         det, cfg = self.det, self.cfg
@@ -116,13 +210,7 @@ class DetectionTrainer:
 
         return step
 
-    def train_step(self, image, boxes, labels) -> float:
-        """``image``: [1, H, W, 3]; ``boxes``: [N, 4]; ``labels``: [N]."""
-        image = jnp.asarray(image, jnp.float32)
-        if bool(jnp.isnan(image).sum() > 0):
-            raise ValueError("image is nan")
-        if bool(jnp.isinf(image).sum() > 0):
-            raise ValueError("image is inf")
+    def _pad_gt(self, boxes, labels):
         if len(labels) > self.cfg.max_gt:
             raise ValueError(
                 f"sample has {len(labels)} ground-truth boxes but max_gt="
@@ -136,6 +224,59 @@ class DetectionTrainer:
         pb[:n] = np.asarray(boxes, np.float32)[:n]
         pl[:n] = np.asarray(labels, np.int32)[:n]
         pv[:n] = True
+        return pb, pl, pv
+
+    @staticmethod
+    def _guard_finite(image):
+        if bool(jnp.isnan(image).sum() > 0):
+            raise ValueError("image is nan")
+        if bool(jnp.isinf(image).sum() > 0):
+            raise ValueError("image is inf")
+
+    def train_step_batch(self, images, targets) -> float:
+        """One optimizer step on a batch: ``images`` [B, H, W, 3];
+        ``targets`` a list of B ``{'boxes', 'labels'}`` dicts.  Returns the
+        batch-mean summed loss.  Rides the mesh when one was given."""
+        images = jnp.asarray(images, jnp.float32)
+        self._guard_finite(images)
+        padded = [self._pad_gt(t["boxes"], t["labels"]) for t in targets]
+        pb = jnp.asarray(np.stack([p[0] for p in padded]))
+        pl = jnp.asarray(np.stack([p[1] for p in padded]))
+        pv = jnp.asarray(np.stack([p[2] for p in padded]))
+
+        if self._state is not None:
+            self._state, total = self._sharded_step(
+                self._state, (images, pb, pl, pv)
+            )
+            self._sync_from_state()
+            return float(total)
+
+        if self._batched_step is None:
+            self._batched_step = self._build_batched_step()
+        params = self._params()
+        trunk_stats = self.variables["trunk"].get("batch_stats", {})
+        params, new_stats, self.opt_state, total = self._batched_step(
+            params, trunk_stats, self.opt_state, images, pb, pl, pv
+        )
+        self.variables = self._with_params(params)
+        self.variables["trunk"]["batch_stats"] = new_stats
+        return float(total)
+
+    def train_step(self, image, boxes, labels) -> float:
+        """``image``: [1, H, W, 3]; ``boxes``: [N, 4]; ``labels``: [N]."""
+        if self._state is not None:
+            if self.batch_size != 1:
+                raise ValueError(
+                    "mesh trainer steps on global batches of "
+                    f"{self.batch_size}; use train_step_batch/fit"
+                )
+            return self.train_step_batch(
+                jnp.asarray(image, jnp.float32),
+                [{"boxes": boxes, "labels": labels}],
+            )
+        image = jnp.asarray(image, jnp.float32)
+        self._guard_finite(image)
+        pb, pl, pv = self._pad_gt(boxes, labels)
 
         params = self._params()
         trunk_stats = self.variables["trunk"].get("batch_stats", {})
@@ -147,6 +288,23 @@ class DetectionTrainer:
         self.variables["trunk"]["batch_stats"] = new_stats
         return float(total)
 
+    def _iter_batches(self, dataset):
+        """Yield ``(images [B,H,W,3], [targets])`` groups of ``batch_size``
+        samples (wrapping to fill the last group so every step has a full —
+        and mesh-shardable — batch); B=1 passthrough otherwise."""
+        n = len(dataset)
+        for g0 in range(0, n, self.batch_size):
+            samples = [dataset[(g0 + k) % n] for k in range(self.batch_size)]
+            images = np.concatenate(
+                [
+                    np.asarray(im)[..., :3]
+                    if im.shape[-1] > 3 else np.asarray(im)
+                    for im, _ in samples
+                ],
+                axis=0,
+            )
+            yield images, [t for _, t in samples]
+
     def fit(self, dataset, epochs: Optional[int] = None) -> List[float]:
         epochs = epochs if epochs is not None else self.cfg.epochs
         summed_losses: List[float] = []
@@ -154,12 +312,16 @@ class DetectionTrainer:
         for e in range(epochs):
             t0 = time.perf_counter()
             total = 0.0
-            for i in range(len(dataset)):
-                image, target = dataset[i]
-                total += self.train_step(
-                    image[..., :3] if image.shape[-1] > 3 else image,
-                    target["boxes"], target["labels"],
-                )
+            if self.batch_size > 1:
+                for images, targets in self._iter_batches(dataset):
+                    total += self.train_step_batch(images, targets)
+            else:
+                for i in range(len(dataset)):
+                    image, target = dataset[i]
+                    total += self.train_step(
+                        image[..., :3] if image.shape[-1] > 3 else image,
+                        target["boxes"], target["labels"],
+                    )
             summed_losses.append(total)
             self.metrics.write(epoch=e, summed_loss=total)
             log.info(

@@ -445,3 +445,70 @@ def test_sharded_tiled_forward_rejects_thin_slab(small_cfg):
     thin = jnp.zeros((1, 8 * 8, 40, 8, 4))  # slab 8 < pad_x 16
     with pytest.raises(ValueError, match="thinner than the halo"):
         run(thin)
+
+
+def test_detection_trainer_mesh_matches_single_device():
+    """DetectionTrainer(mesh=...) — data-parallel detection training (the
+    reference trains strictly batch=1 on one GPU,
+    ``train_fastercnn_func.py:18-49``) — must track the single-device
+    batched trainer's loss trajectory on identical global batches."""
+    from hcunet_tpu.models.detection import Detector, DetectorConfig
+    from hcunet_tpu.train.detection_trainer import (
+        DetectionTrainConfig,
+        DetectionTrainer,
+    )
+
+    det_cfg = DetectorConfig(
+        num_classes=2, max_detections=5, rpn_pre_nms_top_n=64,
+        rpn_post_nms_top_n=16, anchor_sizes=(16, 32, 64, 128, 256),
+        box_score_thresh=0.0,
+    )
+    det = Detector(det_cfg, backbone="small")
+    variables = det.init(jax.random.PRNGKey(0), (64, 64))
+    tcfg = DetectionTrainConfig(learning_rate=3e-4, gamma=1.0, max_gt=4)
+    mesh = make_mesh({DATA_AXIS: 8})
+
+    rng = np.random.default_rng(3)
+    ds = []
+    for _ in range(16):  # two global batches of 8
+        img = rng.random((1, 64, 64, 3)).astype(np.float32) * 0.1
+        y0, x0 = (int(v) for v in rng.integers(4, 38, 2))
+        img[0, y0 : y0 + 20, x0 : x0 + 20] += 0.9
+        ds.append(
+            (
+                img,
+                {
+                    "boxes": np.array(
+                        [[x0, y0, x0 + 20, y0 + 20]], np.float32
+                    ),
+                    "labels": np.array([1], np.int32),
+                },
+            )
+        )
+
+    def fresh_vars():
+        return {"trunk": dict(variables["trunk"]), "head": dict(variables["head"])}
+
+    tr_mesh = DetectionTrainer(det, fresh_vars(), tcfg, mesh=mesh)
+    assert tr_mesh.batch_size == 8
+    losses_mesh = [
+        tr_mesh.train_step_batch(im, tg)
+        for im, tg in tr_mesh._iter_batches(ds)
+    ]
+
+    tr_plain = DetectionTrainer(det, fresh_vars(), tcfg, batch_size=8)
+    losses_plain = [
+        tr_plain.train_step_batch(im, tg)
+        for im, tg in tr_plain._iter_batches(ds)
+    ]
+    assert len(losses_mesh) == 2
+    np.testing.assert_allclose(losses_mesh, losses_plain, rtol=1e-4)
+
+    # parameters after the trajectory agree too (not just the scalar loss).
+    # tolerance: the psum's reduction order differs from the single-device
+    # batch mean; for near-zero-gradient entries Adam's m/sqrt(v) amplifies
+    # that float noise to O(lr) per step, so allow a few milli-lr of drift
+    p_mesh = jax.tree_util.tree_leaves(tr_mesh.variables["head"]["params"])
+    p_plain = jax.tree_util.tree_leaves(tr_plain.variables["head"]["params"])
+    for a, b in zip(p_mesh, p_plain):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-3)
