@@ -410,13 +410,19 @@ def run(argv=None) -> int:
     Emits one JSON line per requested metric; backend outages produce
     classified ``backend_unavailable`` lines and exit 0 (VERDICT r3 #4)."""
     argv = sys.argv[1:] if argv is None else list(argv)
-    if "--pipeline" in argv:
-        jobs = [("analyze_pipeline_end_to_end", pipeline_main)]
-    elif "--headline" in argv or "--plain" in argv:
-        jobs = [("tiled_unet3d_inference", main)]
-    elif "--recurrent" in argv:
-        jobs = [("recurrent_packed_serving", recurrent_main)]
-    else:
+    # selector flags compose: ``--headline --recurrent`` emits both metrics
+    # (review r4 #7 — the old elif chain silently dropped all but the first)
+    selectors = (
+        ("--headline", "tiled_unet3d_inference", main),
+        ("--plain", "tiled_unet3d_inference", main),
+        ("--pipeline", "analyze_pipeline_end_to_end", pipeline_main),
+        ("--recurrent", "recurrent_packed_serving", recurrent_main),
+    )
+    jobs = []
+    for flag, metric, fn in selectors:
+        if flag in argv and all(m != metric for m, _ in jobs):
+            jobs.append((metric, fn))
+    if not jobs:
         jobs = [
             ("tiled_unet3d_inference", main),
             ("analyze_pipeline_end_to_end", pipeline_main),
@@ -426,12 +432,20 @@ def run(argv=None) -> int:
         for metric, _fn in jobs:
             _emit_unavailable(metric, "probe: jax.devices() unreachable")
         return 0
+    dead = None
     for metric, fn in jobs:
+        if dead is not None:
+            # the in-process jax client stays wedged after an UNAVAILABLE
+            # (device ops hang >300s on this rig) — classify the remaining
+            # metrics instead of touching the dead backend (review r4 #3)
+            _emit_unavailable(metric, dead)
+            continue
         try:
             fn()
         except Exception as e:  # classify tunnel deaths mid-run; re-raise bugs
             if _is_backend_error(e):
                 _emit_unavailable(metric, f"{type(e).__name__}: {e}")
+                dead = f"backend died during an earlier metric ({metric})"
             else:
                 raise
     return 0

@@ -502,10 +502,13 @@ def _cmd_predict_recurrent(args):
             )
         )
 
-    # group same-shaped stacks into one batched dispatch each
+    # group same-shaped stacks into one batched dispatch each — unless the
+    # user asked for --split-x single-volume latency mode, whose packed
+    # program only engages at B=1 (batching two stacks would silently run
+    # the unsplit program, review r4 #4): then every volume dispatches alone
     by_shape = {}
     vols = {}
-    for path in args.images:
+    for k, path in enumerate(args.images):
         vol = _load_volume(path)
         if np.issubdtype(vol.dtype, np.integer):
             from hcunet_tpu.data.transforms import integer_unit_scale
@@ -513,7 +516,8 @@ def _cmd_predict_recurrent(args):
             vol = vol.astype(np.float32) / integer_unit_scale(vol.dtype)
         vol = ((vol - 0.5) / 0.5).astype(np.float32)
         vols[path] = vol
-        by_shape.setdefault(vol.shape, []).append(path)
+        key = (vol.shape, k) if (args.split_x or 0) > 1 else vol.shape
+        by_shape.setdefault(key, []).append(path)
     os.makedirs(args.out_dir, exist_ok=True)
     outputs = {}
     for shape, paths in by_shape.items():

@@ -328,7 +328,7 @@ def compile_recurrent_apply(
     zb_plan: Optional[tuple] = None,
     subpixel_tconv: bool = True,
     split_x: int = 1,
-    halo_x: int = 32,
+    halo_x: Optional[int] = None,
     mesh=None,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Build the packed inference forward for :class:`RecursiveUNet`.
@@ -366,10 +366,20 @@ def compile_recurrent_apply(
         lambda v, t: model.apply(v, t, train=False), variables
     )
     if isinstance(cfg, RDCNetConfig):
+        if zb_plan is not None and len(zb_plan) > 1:
+            log.warning(
+                "compile_recurrent_apply: RDCNet packs one z-block size; "
+                "zb_plan[1:]=%s is ignored", zb_plan[1:],
+            )
+        # halo_x semantics differ per family: RUNet exchanges full-res
+        # columns (default 32 >= measured radius 28), RDCNet half-res
+        # columns (default 12 >= 2*d_max = 10) — an explicit halo passes
+        # through, None picks the family default (review r4 #5)
+        kw = {} if halo_x is None else {"halo_x": int(halo_x)}
         return compile_rdcnet_apply(
             model, variables, dtype=dtype, zb_cap=zb_cap,
             zb=(zb_plan[0] if zb_plan else None),
-            split_x=split_x, mesh=mesh,
+            split_x=split_x, mesh=mesh, **kw,
         )
     if (
         not isinstance(cfg, RUNetConfig)
@@ -384,6 +394,8 @@ def compile_recurrent_apply(
         )
         return plain
 
+    if halo_x is None:
+        halo_x = 32  # RUNet family default: >= the measured radius 28
     params = jax.tree.map(np.asarray, variables["params"])["step"]
     stats = jax.tree.map(np.asarray, variables["batch_stats"])["step"]
     c0, c1, c2 = cfg.channels
@@ -500,13 +512,12 @@ def compile_recurrent_apply(
             image = _split_stack(image[0], n_split, tile_w, core)
             B, X = n_split, tile_w
             if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec
+                from hcunet_tpu.parallel.mesh import tiles_sharding
 
                 # one x-slab per device; the halo refresh's cross-tile
                 # slices become ICI collectives under this constraint
                 image = jax.lax.with_sharding_constraint(
-                    image,
-                    NamedSharding(mesh, PartitionSpec(tuple(mesh.axis_names))),
+                    image, tiles_sharding(mesh, n_split)
                 )
         pk = packed_for(int(Z))
         zb0, zb1 = pk["zb0"], pk["zb1"]
@@ -519,11 +530,9 @@ def compile_recurrent_apply(
         nb1 = -(-Z // zb1)
         h0 = jnp.ones((B, X // 2, Y // 2, nb1, c1 * zb1), dtype)
         if use_split and mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
+            from hcunet_tpu.parallel.mesh import tiles_sharding
 
-            tiles_sh = NamedSharding(
-                mesh, PartitionSpec(tuple(mesh.axis_names))
-            )
+            tiles_sh = tiles_sharding(mesh, n_split)
             s0 = jax.lax.with_sharding_constraint(s0, tiles_sh)
             h0 = jax.lax.with_sharding_constraint(h0, tiles_sh)
 
@@ -690,13 +699,12 @@ def compile_rdcnet_apply(
             # stride-2 in-conv ran on the full volume)
             x_half = _split_stack(x_half[0], n_split, tile_w, core)
             if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec
+                from hcunet_tpu.parallel.mesh import tiles_sharding
 
                 # one slab per device; the per-iteration halo refresh's
                 # cross-tile slices lower to ICI collectives
                 x_half = jax.lax.with_sharding_constraint(
-                    x_half,
-                    NamedSharding(mesh, PartitionSpec(tuple(mesh.axis_names))),
+                    x_half, tiles_sharding(mesh, n_split)
                 )
 
         xp = pack_volume(x_half.astype(dtype), zb_)

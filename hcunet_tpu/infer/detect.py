@@ -142,8 +142,10 @@ class ShardedDetect:
         import jax
         from jax.sharding import NamedSharding, PartitionSpec
 
+        from hcunet_tpu.parallel.mesh import tiles_sharding
+
         self.n = int(np.prod(list(mesh.shape.values())))
-        batch_sh = NamedSharding(mesh, PartitionSpec(tuple(mesh.axis_names)))
+        batch_sh = tiles_sharding(mesh)
         rep = NamedSharding(mesh, PartitionSpec())
         vars_r = jax.device_put(variables, rep)
 

@@ -50,7 +50,8 @@ def _resolve_host_ram(host_ram_bytes: Optional[int] = None) -> int:
 
 
 def _cap_tile_workers(
-    workers: int, pad, ev, Z: int, cfg: WatershedConfig, host_ram_bytes: int
+    workers: int, pad, ev, Z: int, cfg: WatershedConfig, host_ram_bytes: int,
+    concurrent_stages: int = 1,
 ) -> int:
     """Cap concurrent flood workers so `workers x per-tile-peak` fits RAM.
 
@@ -66,7 +67,11 @@ def _cap_tile_workers(
         per_tile = tile_vox * max(1, int(cfg.expand_z)) * 21
     else:
         per_tile = tile_vox * 25
-    budget = host_ram_bytes // 2
+    # ``concurrent_stages``: how many instance stages run at once — the
+    # pipeline's ``analyze(overlap=N)`` tail workers each start their own
+    # flood pool, so the budget divides across them or the aggregate peak
+    # is N x what the cap allows (review r4 #1)
+    budget = host_ram_bytes // 2 // max(1, int(concurrent_stages))
     return max(1, min(int(workers), int(budget // max(per_tile, 1))))
 
 
@@ -163,6 +168,7 @@ def generate_unique_segmentation_mask(
     cfg: Optional[WatershedConfig] = None,
     host_ram_bytes: Optional[int] = None,
     progress=None,
+    concurrent_stages: int = 1,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns ``(unique_mask, seed)`` int32 volumes shaped like ``semantic``.
 
@@ -356,7 +362,9 @@ def generate_unique_segmentation_mask(
     # workers x per-tile peak must fit host RAM: the tile table assumes ONE
     # tile in flight (reference semantics), so concurrency is capped — an
     # explicit cfg.tile_workers is capped too (it multiplies the same peak)
-    workers = _cap_tile_workers(workers, pad, ev, Z, cfg, host_ram_bytes)
+    workers = _cap_tile_workers(
+        workers, pad, ev, Z, cfg, host_ram_bytes, concurrent_stages
+    )
     if workers > 1 and len(tiles) > 1 and cfg.backend != "device":
         # floods run concurrently (the native op releases the GIL); the
         # merge below applies results in tile order, so the output is

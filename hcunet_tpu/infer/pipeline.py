@@ -114,11 +114,12 @@ class _ShardedChunkSeg:
         # each slab must hold at least one halo and one whole tile column
         min_xq = -(-(self.n * max(self.px, self.ex)) // q) * q
         Xq = max(Xq, min_xq)
-        if 0 < Xq - Xc < self.ex + self.px:
+        while 0 < Xq - Xc < self.ex + self.px:
             # the extension must cover one tile column + halo so the tile
             # containing the last true voxel never reads the sharded
             # engine's own far-edge halo (whose rows differ from the
-            # single-device engine's overhang context)
+            # single-device engine's overhang context); one quantum may
+            # not be enough when pad_x > (n_shards-1)*eval_x
             Xq += q
         return Xq
 
@@ -345,7 +346,10 @@ def analyze(
             candidates = empty_candidates()
         with _staged("instance"):
             unique_mask, _seed = generate_unique_segmentation_mask(
-                prob, candidates, cfg.watershed
+                prob, candidates, cfg.watershed,
+                # N chunk tails flood concurrently: each pool's RAM share
+                # shrinks so the aggregate stays within the budget
+                concurrent_stages=max(1, tail_workers),
             )
         cells = generate_cell_objects(
             chunk, unique_mask, x_ind_chunk=cx0, y_ind_chunk=cy0

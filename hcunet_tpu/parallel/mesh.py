@@ -73,6 +73,24 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(tuple(axes) if axes else None))
 
 
+def tiles_sharding(mesh: Mesh, n: Optional[int] = None) -> NamedSharding:
+    """Shard a leading tile/slab dim over EVERY mesh axis, flattened.
+
+    The recipe behind all multi-chip slab splitting (recurrent split-X
+    serving, detection z-plane batches): ``PartitionSpec((axis0, axis1,
+    ...))`` puts the leading dim's tiles one-per-device regardless of the
+    mesh's logical factorization.  ``n`` (when known statically) validates
+    the tile count divides the device count — XLA would otherwise reject
+    the constraint with an opaque shape error at trace time."""
+    if n is not None and int(n) % mesh.size != 0:
+        raise ValueError(
+            f"{n} tiles cannot shard evenly over the {mesh.size}-device "
+            f"mesh {dict(mesh.shape)}; pick split/batch a multiple of "
+            f"{mesh.size}"
+        )
+    return NamedSharding(mesh, P(tuple(mesh.axis_names)))
+
+
 def param_sharding_spec(path_leaf_shape, mesh: Mesh, min_size: int = 32):
     """PartitionSpec for one parameter: shard the trailing (out-feature)
     axis over ``model`` when it divides evenly and is large enough.

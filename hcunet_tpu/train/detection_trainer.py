@@ -295,6 +295,15 @@ class DetectionTrainer:
         n = len(dataset)
         for g0 in range(0, n, self.batch_size):
             samples = [dataset[(g0 + k) % n] for k in range(self.batch_size)]
+            shapes = {np.asarray(im).shape[1:3] for im, _ in samples}
+            if len(shapes) > 1:
+                raise ValueError(
+                    "batch_size>1 stacks images into one [B,H,W,3] array, "
+                    f"but the dataset yields mixed sizes {sorted(shapes)}; "
+                    "crop/resize to a common size (e.g. random_crop) or "
+                    "train with batch_size=1 (per-sample dispatch handles "
+                    "any size)"
+                )
             images = np.concatenate(
                 [
                     np.asarray(im)[..., :3]

@@ -221,3 +221,25 @@ def test_instance_tile_workers_identical(rng):
     )
     assert serial.max() > 0  # non-trivial labeling
     np.testing.assert_array_equal(serial, parallel)
+
+
+def test_cap_tile_workers_divides_budget_across_concurrent_stages():
+    """The flood-worker RAM cap must shrink when several chunk tails run
+    instance stages concurrently (analyze(overlap=N)): otherwise each pool
+    independently budgets host_ram/2 and the aggregate peak is N x the cap
+    (review r4 #1)."""
+    from hcunet_tpu.config import WatershedConfig
+    from hcunet_tpu.infer.instance import _cap_tile_workers
+
+    cfg = WatershedConfig()
+    pad, ev, Z = (56, 56), (1212, 1212), 20
+    ram = 16 * 2**30
+    solo = _cap_tile_workers(16, pad, ev, Z, cfg, ram)
+    three = _cap_tile_workers(16, pad, ev, Z, cfg, ram, concurrent_stages=3)
+    assert 1 <= three <= max(1, solo // 3 + 1)
+    # aggregate in-flight peak stays within the budget
+    tile_vox = (ev[0] + 2 * pad[0]) * (ev[1] + 2 * pad[1]) * Z
+    per_tile = tile_vox * 25
+    assert 3 * three * per_tile <= ram // 2 + 3 * per_tile  # floor slack
+    # always at least one worker, even on tiny hosts
+    assert _cap_tile_workers(16, pad, ev, Z, cfg, 2**28, 4) == 1

@@ -440,3 +440,30 @@ def test_cli_analyze_spatial_shards(tmp_path, capsys):
         outs[name] = info["cells"]
         assert os.path.exists(os.path.join(out, "cells.csv"))
     assert outs["single"] == outs["sharded"]
+
+
+def test_sharded_chunk_padded_width_invariant():
+    """``_ShardedChunkSeg.padded_width``: any nonzero bucket extension must
+    be >= eval_x + pad_x so the tile holding the last true voxel never
+    reads the sharded engine's own far-edge halo (review r4: a single
+    quantum bump was not enough when pad_x > (n_shards-1)*eval_x)."""
+    import dataclasses
+
+    from hcunet_tpu.infer.pipeline import _ShardedChunkSeg
+
+    for n, ex, px in ((2, 16, 40), (2, 32, 16), (4, 16, 56), (3, 20, 20)):
+        cfg = PipelineConfig(
+            tiles=TileConfig(eval_size=(ex, ex, 4), pad=(px, px, 2))
+        )
+        seg = _ShardedChunkSeg(None, n, None, cfg)
+        q = n * ex
+        for Xc in range(1, 6 * q + 7):
+            Xq = seg.padded_width(Xc)
+            if px > Xc:
+                assert Xq is None  # mirror pad cannot exceed source width
+                continue
+            ext = Xq - Xc
+            assert Xq % q == 0
+            assert ext == 0 or ext >= ex + px, (n, ex, px, Xc, Xq)
+            # slabs hold at least one halo and one tile column
+            assert Xq >= n * max(px, ex)
