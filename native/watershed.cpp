@@ -100,6 +100,66 @@ struct Offset {
   int dx, dy, dz, m;
 };
 
+// Neighbor table for one (dims, connectivity): C-order enumeration,
+// stable-sorted by squared distance (the oracle's scan order).
+struct NeighborTable {
+  std::vector<long long> offs;
+  std::vector<int> d[3];
+};
+
+NeighborTable neighbor_table(int64_t X, int64_t Y, int64_t Z,
+                             int connectivity) {
+  (void)X;
+  const int64_t sx = Y * Z, sy = Z, sz = 1;
+  std::vector<Offset> off_list;
+  for (int dx = -1; dx <= 1; ++dx)
+    for (int dy = -1; dy <= 1; ++dy)
+      for (int dz = -1; dz <= 1; ++dz) {
+        int m = dx * dx + dy * dy + dz * dz;
+        if (m == 0 || m > connectivity) continue;
+        off_list.push_back(Offset{dx, dy, dz, m});
+      }
+  std::stable_sort(off_list.begin(), off_list.end(),
+                   [](const Offset& a, const Offset& b) { return a.m < b.m; });
+  NeighborTable nt;
+  for (const auto& o : off_list) {
+    nt.offs.push_back((long long)o.dx * sx + o.dy * sy + o.dz * sz);
+    nt.d[0].push_back(o.dx);
+    nt.d[1].push_back(o.dy);
+    nt.d[2].push_back(o.dz);
+  }
+  return nt;
+}
+
+// A marker whose in-bounds, in-mask neighbors ALL hold its own label is a
+// provable no-op when popped: it re-writes its own label, cannot trigger a
+// watershed line (no differently-labeled positive neighbor can ever appear
+// next to it — markers are never re-labeled to another positive label, only
+// to the LINE sentinel, which is negative), and pushes nothing (every
+// neighbor is already nonzero).  Skipping its initial push is therefore
+// bit-exact: the surviving pushes keep their relative (priority, age) order
+// and the skipped pops touch no state.  With the instance segmenter's
+// defaults (distance_floor 0.2 > seed_background_below 0.15) the background
+// seed region is one huge equal-priority plateau whose interior is entirely
+// such markers — this cuts initial heap traffic from ~plateau volume to
+// ~plateau surface.
+inline bool marker_active(const int32_t* output, const uint8_t* mask,
+                          const NeighborTable& nt, int64_t X, int64_t Y,
+                          int64_t Z, long long x, long long y, long long z,
+                          long long idx, int32_t lab) {
+  const size_t n_off = nt.offs.size();
+  for (size_t k = 0; k < n_off; ++k) {
+    long long qx = x + nt.d[0][k];
+    long long qy = y + nt.d[1][k];
+    long long qz = z + nt.d[2][k];
+    if (qx < 0 || qx >= X || qy < 0 || qy >= Y || qz < 0 || qz >= Z) continue;
+    long long q = idx + nt.offs[k];
+    if (mask && !mask[q]) continue;
+    if (output[q] != lab) return true;
+  }
+  return false;
+}
+
 // watershed-line pixels are resolved with a sentinel during the flood
 // (never re-claimed, never flooded through, and not a "different region"
 // for the line test) and emitted as 0 — see tests/watershed_oracle.py.
@@ -116,37 +176,71 @@ bool timing_enabled() {
   return on;
 }
 
+// Two-pass taxicab chamfer of the complement of `mask_e`, thresholded at
+// `radius` (== exact iterated cross dilation).  T=uint8_t saturates at 255:
+// a saturated cell can never relax a neighbor below 255 (candidate 256 is
+// never < any stored value), so every cell with true distance >= 255 holds
+// exactly 255 and any radius <= 254 thresholds exactly — at 4x less scratch
+// traffic than int32.  The int32 instantiation keeps the legacy headroom
+// for absurd radii.
+template <typename T>
+int chamfer_dilate(std::vector<uint8_t>& mask_e, int64_t X, int64_t Y,
+                   int64_t Ze, int radius) {
+  const T INF = sizeof(T) == 1 ? (T)255 : (T)(1 << 29);
+  const int64_t ne = (int64_t)mask_e.size();
+  std::vector<T> cham;
+  try {
+    cham.resize(ne);
+  } catch (...) {
+    return 2;
+  }
+  const int64_t sx = Y * Ze, sy = Ze;
+  for (long long i = 0; i < ne; ++i) cham[i] = mask_e[i] ? 0 : INF;
+  // forward raster scan
+  for (long long x = 0; x < X; ++x)
+    for (long long y = 0; y < Y; ++y) {
+      T* row = cham.data() + x * sx + y * sy;
+      const T* up = (x > 0) ? row - sx : nullptr;
+      const T* left = (y > 0) ? row - sy : nullptr;
+      for (long long z = 0; z < Ze; ++z) {
+        int d = row[z];
+        if (z > 0 && (int)row[z - 1] + 1 < d) d = (int)row[z - 1] + 1;
+        if (left && (int)left[z] + 1 < d) d = (int)left[z] + 1;
+        if (up && (int)up[z] + 1 < d) d = (int)up[z] + 1;
+        row[z] = (T)d;
+      }
+    }
+  // backward raster scan
+  for (long long x = X - 1; x >= 0; --x)
+    for (long long y = Y - 1; y >= 0; --y) {
+      T* row = cham.data() + x * sx + y * sy;
+      const T* down = (x < X - 1) ? row + sx : nullptr;
+      const T* right = (y < Y - 1) ? row + sy : nullptr;
+      for (long long z = Ze - 1; z >= 0; --z) {
+        int d = row[z];
+        if (z < Ze - 1 && (int)row[z + 1] + 1 < d) d = (int)row[z + 1] + 1;
+        if (right && (int)right[z] + 1 < d) d = (int)right[z] + 1;
+        if (down && (int)down[z] + 1 < d) d = (int)down[z] + 1;
+        row[z] = (T)d;
+      }
+    }
+  for (long long i = 0; i < ne; ++i) mask_e[i] = cham[i] <= radius;
+  return 0;
+}
+
 // Shared priority flood over an [X, Y, Z] volume whose image values come
 // through `img` (long long raveled idx -> double).  `output` carries the
 // initial markers (already cleared outside the mask and pushed by the
 // caller via `push_markers`), `mask` limits flooding.
 template <typename ImageFn>
 void flood(const ImageFn& img, int32_t* output, const uint8_t* mask,
-           int64_t X, int64_t Y, int64_t Z, int connectivity,
+           int64_t X, int64_t Y, int64_t Z, const NeighborTable& nt,
            double compactness, int watershed_line, MinHeap4& heap,
            long long age) {
-  const int64_t sx = Y * Z, sy = Z, sz = 1;
+  const int64_t sx = Y * Z, sy = Z;
 
-  // neighbor offsets: C-order enumeration, stable-sorted by squared
-  // distance (the oracle's scan order).
-  std::vector<Offset> off_list;
-  for (int dx = -1; dx <= 1; ++dx)
-    for (int dy = -1; dy <= 1; ++dy)
-      for (int dz = -1; dz <= 1; ++dz) {
-        int m = dx * dx + dy * dy + dz * dz;
-        if (m == 0 || m > connectivity) continue;
-        off_list.push_back(Offset{dx, dy, dz, m});
-      }
-  std::stable_sort(off_list.begin(), off_list.end(),
-                   [](const Offset& a, const Offset& b) { return a.m < b.m; });
-  std::vector<long long> offs;
-  std::vector<int> d_[3];
-  for (const auto& o : off_list) {
-    offs.push_back((long long)o.dx * sx + o.dy * sy + o.dz * sz);
-    d_[0].push_back(o.dx);
-    d_[1].push_back(o.dy);
-    d_[2].push_back(o.dz);
-  }
+  const std::vector<long long>& offs = nt.offs;
+  const std::vector<int>* d_ = nt.d;
   const size_t n_off = offs.size();
 
   auto coords = [&](long long idx, long long& x, long long& y, long long& z) {
@@ -209,19 +303,26 @@ int watershed3d(const double* image, int32_t* output, const uint8_t* mask,
 
   MinHeap4 heap;
   long long age = 0;
+  NeighborTable nt = neighbor_table(X, Y, Z, connectivity);
 
-  // markers outside the mask are cleared; the rest are pushed in raveled
-  // order with strictly increasing ages.
-  for (long long i = 0; i < n; ++i) {
-    if (mask && !mask[i]) {
-      output[i] = 0;
-    } else if (output[i] != 0) {
-      heap.push(Entry{image[i], age++, (int32_t)i, (int32_t)i});
-    }
-  }
+  // markers outside the mask are cleared first (the activity filter below
+  // reads neighbor labels post-clear), then the remaining markers are
+  // pushed in raveled order with strictly increasing ages — skipping
+  // provable-no-op interior markers (see marker_active; bit-exact).
+  for (long long i = 0; i < n; ++i)
+    if (mask && !mask[i]) output[i] = 0;
+  long long i = 0;
+  for (long long x = 0; x < X; ++x)
+    for (long long y = 0; y < Y; ++y)
+      for (long long z = 0; z < Z; ++z, ++i) {
+        int32_t lab = output[i];
+        if (lab == 0) continue;
+        if (marker_active(output, mask, nt, X, Y, Z, x, y, z, i, lab))
+          heap.push(Entry{image[i], age++, (int32_t)i, (int32_t)i});
+      }
 
   flood([image](long long i) { return image[i]; }, output, mask, X, Y, Z,
-        connectivity, compactness, watershed_line, heap, age);
+        nt, compactness, watershed_line, heap, age);
 
   for (long long i = 0; i < n; ++i)
     if (output[i] == LINE) output[i] = 0;
@@ -270,7 +371,6 @@ int instance_tile3d(const double* distance, const uint8_t* binary,
   // --- expanded mask: z-replication then iterated cross dilation, done as
   // an exact two-pass taxicab chamfer (L1 distance <= expand_mask) ---
   std::vector<uint8_t> mask_e;
-  std::vector<int32_t> cham;
   try {
     mask_e.resize(ne);
   } catch (...) {
@@ -283,45 +383,10 @@ int instance_tile3d(const double* distance, const uint8_t* binary,
       std::memset(dst + z * E, src[z] ? 1 : 0, E);
   }
   if (expand_mask > 0) {
-    const int32_t INF = 1 << 29;
-    try {
-      cham.resize(ne);
-    } catch (...) {
-      return 2;
-    }
-    const int64_t sx = Y * Ze, sy = Ze;
-    for (long long i = 0; i < ne; ++i) cham[i] = mask_e[i] ? 0 : INF;
-    // forward raster scan
-    for (long long x = 0; x < X; ++x)
-      for (long long y = 0; y < Y; ++y) {
-        int32_t* row = cham.data() + x * sx + y * sy;
-        const int32_t* up = (x > 0) ? row - sx : nullptr;
-        const int32_t* left = (y > 0) ? row - sy : nullptr;
-        for (long long z = 0; z < Ze; ++z) {
-          int32_t d = row[z];
-          if (z > 0 && row[z - 1] + 1 < d) d = row[z - 1] + 1;
-          if (left && left[z] + 1 < d) d = left[z] + 1;
-          if (up && up[z] + 1 < d) d = up[z] + 1;
-          row[z] = d;
-        }
-      }
-    // backward raster scan
-    for (long long x = X - 1; x >= 0; --x)
-      for (long long y = Y - 1; y >= 0; --y) {
-        int32_t* row = cham.data() + x * sx + y * sy;
-        const int32_t* down = (x < X - 1) ? row + sx : nullptr;
-        const int32_t* right = (y < Y - 1) ? row + sy : nullptr;
-        for (long long z = Ze - 1; z >= 0; --z) {
-          int32_t d = row[z];
-          if (z < Ze - 1 && row[z + 1] + 1 < d) d = row[z + 1] + 1;
-          if (right && right[z] + 1 < d) d = right[z] + 1;
-          if (down && down[z] + 1 < d) d = down[z] + 1;
-          row[z] = d;
-        }
-      }
-    for (long long i = 0; i < ne; ++i) mask_e[i] = cham[i] <= expand_mask;
-    cham.clear();
-    cham.shrink_to_fit();
+    int rc = (expand_mask <= 254)
+                 ? chamfer_dilate<uint8_t>(mask_e, X, Y, Ze, expand_mask)
+                 : chamfer_dilate<int32_t>(mask_e, X, Y, Ze, expand_mask);
+    if (rc != 0) return rc;
   }
   if (tim) {
     fprintf(stderr, "[instance_tile3d] chamfer dilation: %.3fs\n",
@@ -339,10 +404,8 @@ int instance_tile3d(const double* distance, const uint8_t* binary,
   } catch (...) {
     return 2;
   }
-  MinHeap4 heap;
-  heap.reserve((size_t)std::min<int64_t>(ne / 4 + 1024, 1 << 26));
-  long long age = 0;
-  // iterate (col, z, r) nested — expanded raveled order without divisions
+  // pass 1: write every expanded label (markers outside the mask cleared) —
+  // iterate (col, z, r) nested: expanded raveled order without divisions
   long long ie = 0;
   for (long long col = 0; col < X * Y; ++col) {
     const double* dcol = distance + col * Z;
@@ -352,23 +415,44 @@ int instance_tile3d(const double* distance, const uint8_t* binary,
       if (v < distance_floor) v = 0.0;
       int32_t lab = scol[z];
       if (v < seed_background_below) lab = 1;
-      const double nv = -v;
-      for (int r = 0; r < E; ++r, ++ie) {
-        if (!mask_e[ie]) {
-          out_e[ie] = 0;
-        } else {
-          out_e[ie] = lab;
-          if (lab != 0) heap.push(Entry{nv, age++, (int32_t)ie, (int32_t)ie});
+      for (int r = 0; r < E; ++r, ++ie)
+        out_e[ie] = mask_e[ie] ? lab : 0;
+    }
+  }
+  // pass 2: push markers in the same raveled order, skipping provable
+  // no-op interior markers (marker_active — bit-exact; the filter reads
+  // neighbor labels, so it needs pass 1 complete)
+  MinHeap4 heap;
+  heap.reserve(1 << 20);
+  long long age = 0;
+  NeighborTable nt = neighbor_table(X, Y, Ze, connectivity);
+  ie = 0;
+  for (long long x = 0; x < X; ++x) {
+    for (long long y = 0; y < Y; ++y) {
+      const long long col = x * Y + y;
+      const double* dcol = distance + col * Z;
+      for (long long z = 0; z < Z; ++z) {
+        double v = dcol[z];
+        if (v < distance_floor) v = 0.0;
+        const double nv = -v;
+        const long long ze0 = z * E;
+        for (int r = 0; r < E; ++r, ++ie) {
+          const int32_t lab = out_e[ie];
+          if (lab == 0) continue;
+          if (marker_active(out_e.data(), mask_e.data(), nt, X, Y, Ze, x, y,
+                            ze0 + r, ie, lab))
+            heap.push(Entry{nv, age++, (int32_t)ie, (int32_t)ie});
         }
       }
     }
   }
   if (tim) {
-    fprintf(stderr, "[instance_tile3d] seed init: %.3fs\n", now_s() - t0);
+    fprintf(stderr, "[instance_tile3d] seed init: %.3fs (%lld pushed)\n",
+            now_s() - t0, age);
     t0 = now_s();
   }
 
-  flood(img, out_e.data(), mask_e.data(), X, Y, Ze, connectivity, compactness,
+  flood(img, out_e.data(), mask_e.data(), X, Y, Ze, nt, compactness,
         watershed_line, heap, age);
   if (tim) {
     fprintf(stderr, "[instance_tile3d] flood: %.3fs\n", now_s() - t0);

@@ -89,6 +89,26 @@ def test_watershed_matches_oracle_on_plateaus(seed):
     np.testing.assert_array_equal(got, want)
 
 
+def test_watershed_adjacent_marker_slabs_line_parity():
+    """A fully-marked flat volume: two touching slabs of different labels.
+    The init-time no-op-marker filter (``native/watershed.cpp`` —
+    ``marker_active``) skips interior markers but MUST keep every marker
+    with a differently-labeled neighbor: those become watershed lines at
+    pop time, exactly as the oracle decides them."""
+    img = np.zeros((8, 8, 3), np.float64)  # one giant plateau
+    markers = np.zeros((8, 8, 3), np.int32)
+    markers[:4] = 1
+    markers[4:] = 2
+    got = watershed(
+        img, markers, connectivity=1, compactness=0.0, watershed_line=True
+    )
+    want = watershed_oracle(
+        img, markers, connectivity=1, compactness=0.0, watershed_line=True
+    )
+    np.testing.assert_array_equal(got, want)
+    assert (got == 1).sum() > 0 and (got == 2).sum() > 0
+
+
 def test_watershed_matches_oracle_pipeline_style():
     """The instance segmenter's exact call pattern: negated probability
     height map, background seed label 1, z-replicated volume
