@@ -221,6 +221,14 @@ class PipelineConfig:
     # Opt in for throughput-sensitive deployments (the bench and the
     # production-scale runner do; advisor r3 #3 flagged lossy-by-default).
     prob_transfer_dtype: str = "float32"
+    # zlib-compress the per-chunk spill files (lossless either way — this
+    # never changes outputs, only disk vs CPU).  Off by default: deflate
+    # costs seconds per production chunk inside the host-side chunk tail
+    # and inflate costs again at reconstruct, on a pipeline whose steady
+    # state is host-CPU-bound; the reference's pickle spill was
+    # uncompressed too (``hcat/mask.py:17``, ``main.py:189-191``).  Turn on
+    # when work_dir disk is scarcer than CPU.
+    spill_compress: bool = False
     detection_channels: Tuple[int, ...] = (0, 2, 3)
     unet: UNetConfig = field(default_factory=UNetConfig.production_3d)
     tiles: TileConfig = field(default_factory=TileConfig)

@@ -30,7 +30,7 @@ from hcunet_tpu.config import PipelineConfig
 from hcunet_tpu.analysis.cochlea import get_cochlear_length
 from hcunet_tpu.analysis.export import cells_to_csv, render_size
 from hcunet_tpu.analysis.haircell import HairCell, generate_cell_objects
-from hcunet_tpu.infer.chunks import PART_EXT, Part, reconstruct_mask, reconstruct_segmented
+from hcunet_tpu.infer.chunks import PART_EXT, Part, reconstruct
 from hcunet_tpu.infer.detect import predict_cell_candidates
 from hcunet_tpu.infer.instance import generate_unique_segmentation_mask
 from hcunet_tpu.infer.tiling import predict_segmentation_mask
@@ -354,7 +354,9 @@ def analyze(
         cells = generate_cell_objects(
             chunk, unique_mask, x_ind_chunk=cx0, y_ind_chunk=cy0
         )
-        Part.create(prob, unique_mask, (cx0, cy0)).save(part_path)
+        Part.create(prob, unique_mask, (cx0, cy0)).save(
+            part_path, compress=cfg.spill_compress
+        )
         _save_cells(cells_path, cells)
         log.info(
             "%s done: %d cells (%.1fs elapsed)",
@@ -513,8 +515,7 @@ def analyze(
 
     log.info("reconstructing masks")
     with _staged("analytics"):
-        mask = reconstruct_mask(work_dir)
-        unique_mask = reconstruct_segmented(work_dir)
+        mask, unique_mask = reconstruct(work_dir)  # one pass over the spills
 
         if save_plots:
             render_size(unique_mask, os.path.join(work_dir, "size_validation.tif"))

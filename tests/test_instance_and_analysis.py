@@ -1,5 +1,7 @@
 """Instance segmentation + domain analytics tests on synthetic volumes."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -95,6 +97,30 @@ def test_part_roundtrip_and_reconstruct(tmp_path):
     seg = reconstruct_segmented(str(tmp_path))
     ids = set(np.unique(seg)) - {0}
     assert len(ids) == 2  # renumbered across chunks
+
+    # the pipeline's combined single-pass walk returns the same canvases
+    from hcunet_tpu.infer.chunks import reconstruct
+
+    both_mask, both_seg = reconstruct(str(tmp_path))
+    np.testing.assert_array_equal(both_mask, full)
+    np.testing.assert_array_equal(both_seg, seg)
+
+
+def test_part_save_compression_modes_identical(tmp_path):
+    """compress=True/False is a pure disk-vs-CPU trade: both spill files
+    load back to identical Parts (the pipeline defaults to uncompressed —
+    deflate sat inside the host-CPU-bound chunk tail)."""
+    rng = np.random.default_rng(3)
+    m = rng.random((12, 9, 4)).astype(np.float32)
+    s = (rng.random((12, 9, 4)) > 0.7).astype(np.int32) * 5
+    pa, pb = str(tmp_path / "a.maskpart.npz"), str(tmp_path / "b.maskpart.npz")
+    Part.create(m, s, (1, 2)).save(pa, compress=False)
+    Part.create(m, s, (1, 2)).save(pb, compress=True)
+    a, b = Part.load(pa), Part.load(pb)
+    np.testing.assert_array_equal(a.dense_mask(), b.dense_mask())
+    np.testing.assert_array_equal(a.dense_segmented(), b.dense_segmented())
+    assert a.loc == b.loc and a.shape == b.shape
+    assert os.path.getsize(pa) >= os.path.getsize(pb)  # deflate shrinks
 
 
 def test_part_null_compression(tmp_path):
