@@ -33,19 +33,52 @@ class Part:
     loc: Tuple[int, int]
     shape: Tuple[int, ...]
     mask_dtype: np.dtype
+    # fixed-point spill: when set, ``mask`` holds the raw uint16 map that
+    # crossed the d2h link (``PipelineConfig.prob_transfer_dtype="uint16"``)
+    # and ``dense_mask`` dequantizes by this float32 multiplier — the spill
+    # then carries the same 2 B/voxel the link did instead of re-inflating
+    # to float32 (the production spill set halves, 6 → 3 GB).  Bit-exact
+    # with spilling the dequantized float32: uint16→float32 is exact and
+    # the multiply is the same f32 scalar op the collect path applies.
+    mask_scale: Optional[float] = None
 
     @classmethod
-    def create(cls, mask: np.ndarray, segmented_mask: np.ndarray, loc) -> "Part":
+    def create(
+        cls,
+        mask: np.ndarray,
+        segmented_mask: np.ndarray,
+        loc,
+        mask_scale: Optional[float] = None,
+    ) -> "Part":
+        if segmented_mask is not None and segmented_mask.size:
+            smax = int(segmented_mask.max())
+            if smax == 0:
+                segmented_mask = None
+            elif smax < 2**16 and int(segmented_mask.min()) >= 0:
+                # chunk-local label counts are small; uint16 halves the
+                # spill (reconstruct offsets into an int32/int64 canvas,
+                # so cross-chunk totals are unaffected)
+                segmented_mask = segmented_mask.astype(np.uint16)
+        else:
+            segmented_mask = None
         return cls(
             mask=None if mask.sum() == 0 else mask,
-            segmented_mask=None if segmented_mask.sum() == 0 else segmented_mask,
+            segmented_mask=segmented_mask,
             loc=tuple(int(v) for v in loc),
             shape=tuple(mask.shape),
-            mask_dtype=mask.dtype,
+            # the LOGICAL dtype: quantized spills reconstruct to float32
+            mask_dtype=np.dtype(np.float32) if mask_scale is not None else mask.dtype,
+            mask_scale=mask_scale,
         )
 
     def dense_mask(self) -> np.ndarray:
-        return self.mask if self.mask is not None else np.zeros(self.shape, self.mask_dtype)
+        if self.mask is None:
+            return np.zeros(self.shape, self.mask_dtype)
+        if self.mask_scale is not None:
+            out = self.mask.astype(np.float32)
+            out *= np.float32(self.mask_scale)
+            return out
+        return self.mask
 
     def dense_segmented(self) -> np.ndarray:
         return (
@@ -61,8 +94,7 @@ class Part:
         keeps the chunk tail and the final reconstruct off the critical path
         (the reference's pickle spill was uncompressed too, ``mask.py:17``)."""
         writer = np.savez_compressed if compress else np.savez
-        writer(
-            path,
+        members = dict(
             loc=np.asarray(self.loc),
             shape=np.asarray(self.shape),
             mask=self.mask if self.mask is not None else np.zeros(0, self.mask_dtype),
@@ -71,6 +103,9 @@ class Part:
             else np.zeros(0, np.int32),
             dtype=str(np.dtype(self.mask_dtype)),
         )
+        if self.mask_scale is not None:
+            members["mask_scale"] = np.float64(self.mask_scale)
+        writer(path, **members)
 
     @classmethod
     def load(cls, path: str) -> "Part":
@@ -79,12 +114,14 @@ class Part:
             dtype = np.dtype(str(z["dtype"]))
             mask = z["mask"] if z["mask"].size else None
             seg = z["segmented"] if z["segmented"].size else None
+            scale = float(z["mask_scale"]) if "mask_scale" in z.files else None
             return cls(
                 mask=mask,
                 segmented_mask=seg,
                 loc=tuple(int(v) for v in z["loc"]),
                 shape=shape,
                 mask_dtype=dtype,
+                mask_scale=scale,
             )
 
 
@@ -218,31 +255,43 @@ def reconstruct(path: str) -> Tuple[np.ndarray, np.ndarray]:
         with zipfile.ZipFile(f) as zf:
             small = {}
             sc: dict = {}
+            names = set(zf.namelist())
             for name in ("loc.npy", "shape.npy", "dtype.npy"):
                 arr = _npz_member_into(zf, name, sc)
                 small[name] = None if arr is None else arr.copy()
+            scale = None
+            if "mask_scale.npy" in names:
+                scale = float(_npz_member_into(zf, "mask_scale.npy", sc))
             metas.append(
                 (
                     tuple(int(v) for v in small["loc.npy"]),
                     tuple(int(v) for v in small["shape.npy"]),
                     np.dtype(str(small["dtype.npy"])),
+                    scale,
                 )
             )
-    X = max(loc[0] + shp[0] for loc, shp, _ in metas)
-    Y = max(loc[1] + shp[1] for loc, shp, _ in metas)
+    X = max(loc[0] + shp[0] for loc, shp, *_ in metas)
+    Y = max(loc[1] + shp[1] for loc, shp, *_ in metas)
     Z = metas[0][1][-1]
     mask = np.zeros((X, Y, Z), metas[0][2])
     seg = np.zeros((X, Y, Z), np.int32)
     max_id = 0
     scratch: dict = {}
     nz = None
-    for f, (loc, shp, _dt) in zip(files, metas):
+    for f, (loc, shp, _dt, scale) in zip(files, metas):
         x, y = loc
         sx, sy = shp[0], shp[1]
         with zipfile.ZipFile(f) as zf:
             m = _npz_member_into(zf, "mask.npy", scratch)
             if m is not None:
-                mask[x : x + sx, y : y + sy, :] = m
+                mregion = mask[x : x + sx, y : y + sy, :]
+                mregion[...] = m  # uint16 fixed-point upcasts exactly
+                if scale is not None:
+                    # same f32 scalar multiply the collect path applies —
+                    # bit-identical to spilling the dequantized float32
+                    np.multiply(
+                        mregion, np.float32(scale), out=mregion
+                    )
             s = _npz_member_into(zf, "segmented.npy", scratch)
             if s is not None:
                 part_max = int(s.max())

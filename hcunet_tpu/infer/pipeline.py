@@ -323,7 +323,7 @@ def analyze(
             return 0
 
     def _finish_chunk(chunk_id, chunk, det_pending, prob, cx0, cy0,
-                      part_path, cells_path):
+                      part_path, cells_path, raw_prob=None, raw_scale=None):
         """Host-side tail of one chunk: detection collect, instance
         watershed, cell objects, spill.  Runs on the overlap worker thread
         (the native flood releases the GIL; the detection fetch is a small
@@ -354,9 +354,15 @@ def analyze(
         cells = generate_cell_objects(
             chunk, unique_mask, x_ind_chunk=cx0, y_ind_chunk=cy0
         )
-        Part.create(prob, unique_mask, (cx0, cy0)).save(
-            part_path, compress=cfg.spill_compress
+        # fixed-point sources spill raw (2 B/voxel — the same bytes that
+        # crossed the link; reconstruct dequantizes at the paste,
+        # bit-identical to spilling the dequantized float32)
+        part = (
+            Part.create(raw_prob, unique_mask, (cx0, cy0), mask_scale=raw_scale)
+            if raw_prob is not None
+            else Part.create(prob, unique_mask, (cx0, cy0))
         )
+        part.save(part_path, compress=cfg.spill_compress)
         _save_cells(cells_path, cells)
         log.info(
             "%s done: %d cells (%.1fs elapsed)",
@@ -465,12 +471,19 @@ def analyze(
          part_path, cells_path) = flight
         with _staged("unet"):
             _count_bytes("prob_d2h", _nbytes(prob_dev))
-            prob = np.asarray(prob_dev)[0, ..., 0].astype(np.float32)
+            raw_prob, raw_scale = None, None
             if cfg.prob_transfer_dtype == "uint16":
-                prob *= np.float32(cfg.prob_scale / 65535.0)
+                # keep the raw fixed-point map: the spill stores it at the
+                # link's 2 B/voxel instead of re-inflating to float32
+                raw_prob = np.asarray(prob_dev)[0, ..., 0]
+                raw_scale = cfg.prob_scale / 65535.0
+                prob = raw_prob.astype(np.float32)
+                prob *= np.float32(raw_scale)
+            else:
+                prob = np.asarray(prob_dev)[0, ..., 0].astype(np.float32)
 
         args = (chunk_id, chunk, det_pending, prob, cx0, cy0,
-                part_path, cells_path)
+                part_path, cells_path, raw_prob, raw_scale)
         if executor is not None:
             pending.append(executor.submit(_finish_chunk, *args))
         else:

@@ -132,6 +132,80 @@ def test_part_null_compression(tmp_path):
     assert back.dense_mask().shape == (4, 4, 2)
 
 
+@pytest.mark.parametrize("compress", [False, True])
+def test_reconstruct_streaming_with_null_and_compressed_parts(tmp_path, compress):
+    """The single-pass ``reconstruct()`` walk must handle the two spill
+    variants the pipeline can produce: null-compressed (all-empty) parts —
+    whose ``mask.npy``/``segmented.npy`` members are zero-length — and
+    zlib-compressed spills (``spill_compress=True``); both must equal the
+    two single-purpose oracle paths."""
+    from hcunet_tpu.infer.chunks import reconstruct
+
+    rng = np.random.default_rng(11)
+    shape = (6, 7, 3)
+    m1 = rng.random(shape).astype(np.float32)
+    s1 = np.zeros(shape, np.int32)
+    s1[1:3, 1:3, :] = 4
+    # part 2 is entirely empty -> null-compressed members on disk
+    m2 = np.zeros(shape, np.float32)
+    s2 = np.zeros(shape, np.int32)
+    m3 = rng.random(shape).astype(np.float32)
+    s3 = np.zeros(shape, np.int32)
+    s3[0:2, 4:6, :] = 2
+    s3[4:5, 0:2, :] = 9
+    Part.create(m1, s1, (0, 0)).save(str(tmp_path / "a.maskpart.npz"), compress)
+    Part.create(m2, s2, (6, 0)).save(str(tmp_path / "b.maskpart.npz"), compress)
+    Part.create(m3, s3, (12, 0)).save(str(tmp_path / "c.maskpart.npz"), compress)
+
+    mask, seg = reconstruct(str(tmp_path))
+    np.testing.assert_array_equal(mask, reconstruct_mask(str(tmp_path)))
+    np.testing.assert_array_equal(seg, reconstruct_segmented(str(tmp_path)))
+    assert mask[6:12].sum() == 0 and seg[6:12].sum() == 0  # null part stayed zero
+    assert len(set(np.unique(seg)) - {0}) == 3  # ids renumbered across parts
+
+
+def test_quantized_spill_reconstructs_bit_identical(tmp_path):
+    """``prob_transfer_dtype="uint16"`` spills the raw fixed-point map
+    (2 B/voxel — the same bytes that crossed the link) plus its scale;
+    ``dense_mask``/``reconstruct`` dequantize with the identical f32 scalar
+    multiply the pipeline's collect path applies, so the canvases are
+    BIT-identical to spilling the dequantized float32 (pipeline.py
+    ``_collect_chunk``/``_finish_chunk``)."""
+    from hcunet_tpu.infer.chunks import reconstruct
+
+    rng = np.random.default_rng(7)
+    prob_scale = 10.0
+    scale = prob_scale / 65535.0
+    shape = (9, 8, 3)
+    parts = []
+    for i, loc in enumerate([(0, 0), (9, 0)]):
+        raw = rng.integers(0, 65536, size=shape).astype(np.uint16)
+        seg = np.zeros(shape, np.int32)
+        seg[2 : 4 + i, 3:5, :] = i + 1
+        # what the collect path computes and hands to the watershed/stats
+        dq = raw.astype(np.float32)
+        dq *= np.float32(scale)
+        parts.append((raw, dq, seg))
+        p = Part.create(raw, seg, loc, mask_scale=scale)
+        assert p.mask_dtype == np.float32  # the LOGICAL dtype
+        assert p.segmented_mask.dtype == np.uint16  # labels fit -> halved
+        p.save(str(tmp_path / f"p{i}.maskpart.npz"))
+
+    # loaded parts dequantize exactly
+    back = Part.load(str(tmp_path / "p0.maskpart.npz"))
+    assert back.mask_scale == scale and back.mask.dtype == np.uint16
+    np.testing.assert_array_equal(back.dense_mask(), parts[0][1])
+
+    mask, seg = reconstruct(str(tmp_path))
+    assert mask.dtype == np.float32
+    np.testing.assert_array_equal(mask[:9], parts[0][1])  # bit-identical
+    np.testing.assert_array_equal(mask[9:], parts[1][1])
+    np.testing.assert_array_equal(mask, reconstruct_mask(str(tmp_path)))
+    np.testing.assert_array_equal(seg, reconstruct_segmented(str(tmp_path)))
+    # renumbered across parts: part-1's label 2 offsets by part-0's max 1
+    assert set(np.unique(seg)) == {0, 1, 3}
+
+
 def test_haircell_stats_and_frequency(rng):
     img = rng.random((6, 6, 4, 4)).astype(np.float32)
     mask = np.zeros((6, 6, 4), bool)
