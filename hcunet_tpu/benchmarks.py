@@ -379,7 +379,10 @@ def pipeline_main():
             shutil.rmtree(work, ignore_errors=True)
 
     run()  # compile + warm
-    dt, stages, xfer = run()
+    # best-of-3 like the other metrics: the remote tunnel's bandwidth
+    # jitters run-to-run by ±25% (BASELINE.md link characterization), so a
+    # single timed rep confounds code changes with link weather
+    dt, stages, xfer = min((run() for _ in range(3)), key=lambda r: r[0])
     vox = shape[0] * shape[1] * shape[2]
     mvx = vox / 1e6
     # composed torch-CPU reference estimate for the same volume (unet tiling
