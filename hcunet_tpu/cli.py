@@ -566,6 +566,12 @@ def _cmd_train_rcnn(args):
     batch = args.batch_size if args.batch_size > 1 else (
         args.data_parallel if mesh is not None else 1
     )
+    if mesh is not None and batch % args.data_parallel:
+        raise SystemExit(
+            f"--batch-size {batch} must be a multiple of --data-parallel "
+            f"{args.data_parallel}: each device takes batch/N samples of "
+            f"the sharded global batch"
+        )
     trainer = DetectionTrainer(
         det, variables,
         DetectionTrainConfig(

@@ -295,6 +295,12 @@ def reconstruct(path: str) -> Tuple[np.ndarray, np.ndarray]:
             s = _npz_member_into(zf, "segmented.npy", scratch)
             if s is not None:
                 part_max = int(s.max())
+                if part_max and max_id + part_max >= np.iinfo(seg.dtype).max:
+                    # cross-chunk ids would wrap int32 — upgrade the canvas
+                    # once and keep going (reconstruct_segmented's int64
+                    # path, inlined; astronomically rare, costs one copy)
+                    seg = seg.astype(np.int64)
+                    nz = None
                 region = seg[x : x + sx, y : y + sy, :]
                 region[...] = s
                 if max_id and part_max:
@@ -303,9 +309,4 @@ def reconstruct(path: str) -> Tuple[np.ndarray, np.ndarray]:
                     np.not_equal(region, 0, out=nz)
                     np.add(region, max_id, out=region, where=nz)
                 max_id += part_max
-                if max_id >= 2**31:
-                    raise OverflowError(
-                        "cross-chunk instance ids exceed int32 — use "
-                        "reconstruct_segmented() (int64 fallback)"
-                    )
     return mask, seg

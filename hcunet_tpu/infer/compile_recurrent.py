@@ -504,6 +504,7 @@ def compile_recurrent_apply(
             n_split >= 2
             and B == 1
             and tuple(cfg.kernel) == (3, 3, 3)  # halo sized for this radius
+            and halo_x > 0  # halo_x=0 would silently seam-corrupt
             and halo_x % 4 == 0
             and core % 4 == 0
             and core >= (2 * halo_x if n_split >= 3 else halo_x)
@@ -618,9 +619,10 @@ def compile_rdcnet_apply(
     compute dtype; parity-tested in ``tests/test_compile_recurrent.py``).
     """
     cfg: RDCNetConfig = model.config
-    plain = jax.tree_util.Partial(
-        lambda v, t: model.apply(v, t, train=False), variables
-    )
+    # no plain-apply fallback here: RDCNet's conv geometry is fixed by the
+    # model class (RDCNetConfig carries only widths/timesteps), so every
+    # instance is packable — compile_recurrent_apply holds the fallback
+    # for genuinely non-packable *configs*
     params = jax.tree.map(np.asarray, variables["params"])
     c = int(cfg.complexity)
     blk = params["step"]["rdc_block"]

@@ -135,7 +135,9 @@ class ShardedDetect:
     :func:`dispatch_cell_candidates` makes; the batch is zero-padded up to
     a multiple of the device count (padded rows land beyond the real ``Z``
     that collect iterates, so they are dropped for free).  Variables are
-    placed replicated once at construction.
+    placed replicated at construction and re-placed only when a caller
+    passes a *different* tree (checkpoint reload) — identity-checked, so
+    the steady-state path pays no per-call placement.
     """
 
     def __init__(self, detector, variables, mesh):
@@ -146,16 +148,25 @@ class ShardedDetect:
 
         self.n = int(np.prod(list(mesh.shape.values())))
         batch_sh = tiles_sharding(mesh)
-        rep = NamedSharding(mesh, PartitionSpec())
-        vars_r = jax.device_put(variables, rep)
+        self._rep = NamedSharding(mesh, PartitionSpec())
+        self._src = variables  # identity of the last-placed host tree
+        self._placed = jax.device_put(variables, self._rep)
 
-        def fn(images):
+        def fn(vars_r, images):
             images = jax.lax.with_sharding_constraint(images, batch_sh)
             return detector.detect(vars_r, images)
 
         self._fn = jax.jit(fn)
 
-    def detect(self, _variables, images):
+    def detect(self, variables, images):
+        if variables is not None and variables is not self._src:
+            # honor the duck-typed detect(variables, batch) contract: a
+            # caller swapping weights (checkpoint reload) must not silently
+            # run the construction-time tree (review r4)
+            import jax
+
+            self._src = variables
+            self._placed = jax.device_put(variables, self._rep)
         Z = images.shape[0]
         Zp = -(-Z // self.n) * self.n
         if Zp != Z:
@@ -163,7 +174,7 @@ class ShardedDetect:
                 [images, jnp.zeros((Zp - Z, *images.shape[1:]), images.dtype)],
                 axis=0,
             )
-        return self._fn(images)
+        return self._fn(self._placed, images)
 
 
 def predict_cell_candidates(

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 import time
+from collections import deque
 from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional
 
@@ -485,7 +486,18 @@ def analyze(
         args = (chunk_id, chunk, det_pending, prob, cx0, cy0,
                 part_path, cells_path, raw_prob, raw_scale)
         if executor is not None:
-            pending.append(executor.submit(_finish_chunk, *args))
+            fut = executor.submit(_finish_chunk, *args)
+            pending.append(fut)
+            # backpressure: each queued tail retains its chunk's prob map
+            # (and uint16 raw map + detection device buffers) until it
+            # runs, so an unbounded backlog grows host RAM ~180 MB/chunk
+            # at production geometry when the flood is slower than the
+            # link (review r4).  Bound incomplete tails to workers + 1
+            # queued; blocking the main thread here is the intended
+            # throttle on further dispatch.
+            live.append(fut)
+            while len(live) > tail_workers + 1:
+                live.popleft().result()
         else:
             pending.append(_finish_chunk(*args))
 
@@ -493,6 +505,7 @@ def analyze(
         ThreadPoolExecutor(max_workers=tail_workers) if tail_workers else None
     )
     pending = []  # per-chunk: a cells list (cached/sequential) or a Future
+    live: deque = deque()  # submitted tails not yet known-finished
     inflight = None  # 1-deep software pipeline: next chunk's device work is
     # dispatched before this chunk's results are fetched, so the device (and
     # the remote-tunnel transfers) never idle while the host merges/spills

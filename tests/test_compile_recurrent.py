@@ -246,6 +246,14 @@ def test_recurrent_split_x_bit_identical():
     )(x)
     assert np.abs(np.asarray(leaky - want)).max() > 1e-4
 
+    # halo_x=0 passes the %4 gate but would seam-corrupt with no exchange
+    # at all — the gate must disengage the split (== unsplit), not run it
+    # (review r4)
+    zero = compile_recurrent_apply(
+        model, variables, dtype=jnp.float32, split_x=2, halo_x=0
+    )(x)
+    np.testing.assert_array_equal(np.asarray(zero), np.asarray(want))
+
 
 def test_rdcnet_split_x_bit_identical():
     """RDCNet split_x=2: the half-res recurrence runs as two overlapping

@@ -206,6 +206,28 @@ def test_quantized_spill_reconstructs_bit_identical(tmp_path):
     assert set(np.unique(seg)) == {0, 1, 3}
 
 
+def test_reconstruct_upgrades_to_int64_when_ids_overflow_int32(tmp_path):
+    """Cross-chunk renumbering that would wrap int32 upgrades the canvas
+    to int64 mid-walk (inlining ``reconstruct_segmented``'s
+    ``_segmented_dtype`` fallback) instead of failing after hours of chunk
+    work (review r4)."""
+    from hcunet_tpu.infer.chunks import reconstruct
+
+    shape = (4, 4, 2)
+    big = 2**30
+    for i, loc in enumerate([(0, 0), (4, 0)]):
+        m = np.full(shape, 0.5, np.float32)
+        s = np.zeros(shape, np.int64)
+        s[1:3, 1:3, :] = big  # per-part max 2**30; the second paste sums past int32
+        Part.create(m, s, loc).save(str(tmp_path / f"p{i}.maskpart.npz"))
+
+    mask, seg = reconstruct(str(tmp_path))
+    assert seg.dtype == np.int64
+    assert int(seg.max()) == 2 * big  # renumbered, unwrapped
+    np.testing.assert_array_equal(seg, reconstruct_segmented(str(tmp_path)))
+    np.testing.assert_array_equal(mask, reconstruct_mask(str(tmp_path)))
+
+
 def test_haircell_stats_and_frequency(rng):
     img = rng.random((6, 6, 4, 4)).astype(np.float32)
     mask = np.zeros((6, 6, 4), bool)

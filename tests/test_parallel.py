@@ -304,6 +304,42 @@ def test_analyze_sharded_detection_matches_single_device(small_cfg, tmp_path):
     assert len(res8.cells) == len(res1.cells)
 
 
+def test_sharded_detect_honors_swapped_variables():
+    """``ShardedDetect`` duck-types ``detector.detect(variables, batch)``;
+    a caller that swaps in a different weight tree (checkpoint reload) must
+    get detections from THOSE weights, not the construction-time ones
+    (review r4)."""
+    from hcunet_tpu.infer.detect import ShardedDetect
+    from hcunet_tpu.models.detection import Detector, DetectorConfig
+
+    det_cfg = DetectorConfig(
+        num_classes=2, max_detections=8, rpn_pre_nms_top_n=32,
+        rpn_post_nms_top_n=8, anchor_sizes=(16, 32, 64, 128, 256),
+        box_score_thresh=0.0,
+    )
+    det = Detector(det_cfg, backbone="small")
+    vars_a = det.init(jax.random.PRNGKey(1), (64, 64))
+    vars_b = det.init(jax.random.PRNGKey(2), (64, 64))
+    mesh = make_mesh({SPATIAL_AXIS: 8})
+    wrapped = ShardedDetect(det, vars_a, mesh)
+
+    x = jax.random.uniform(jax.random.PRNGKey(3), (8, 64, 64, 3))
+    base_a = det.detect(vars_a, x)
+    base_b = det.detect(vars_b, x)
+    np.testing.assert_allclose(
+        np.asarray(wrapped.detect(vars_a, x)["scores"]),
+        np.asarray(base_a["scores"]), atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(wrapped.detect(vars_b, x)["scores"]),
+        np.asarray(base_b["scores"]), atol=2e-5,
+    )
+    # and the swap must actually matter for the scene
+    assert not np.allclose(
+        np.asarray(base_a["scores"]), np.asarray(base_b["scores"])
+    )
+
+
 def test_recurrent_mesh_sharded_serving_matches_single_device():
     """compile_recurrent_apply(mesh=..., split_x=8): one x-slab per device,
     per-timestep halo exchange lowered to ICI collectives — the recurrent
