@@ -237,10 +237,13 @@ def rdcnet_variables_from_torch_state_dict(sd: Mapping) -> Dict:
 
 
 def load_reference_unet_file(path: str):
-    """Load a reference ``.unet`` checkpoint file → (UNetConfig, variables).
+    """Load a reference ``.unet`` checkpoint file →
+    ``(UNetConfig, variables, hyperparameters)``.
 
     Accepts the torch.save dict layout of ``hcat/unet.py:145-165``:
-    ``{'state_dict', 'model_specifications', 'hyperparameters', ...}``.
+    ``{'state_dict', 'model_specifications', 'hyperparameters', ...}``;
+    the returned hyperparameters mirror what the reference's ``load``
+    hands back (``hcat/unet.py:195``).
     """
     import torch
 
@@ -272,6 +275,12 @@ def load_reference_unet_file(path: str):
         upsample_stride=tuple(up_stride),
         dilation=dil if isinstance(dil, int) else 1,
         groups=grp if isinstance(grp, int) else 1,
+        # Weights in a real ``.unet`` were trained under the reference's
+        # swapped-args crop (``unet.py:311,318-340``: ``y = crop(x, y)``
+        # replaces the skip with a copy of the upsampled tensor), so the
+        # behavior-matching flag must ride along for the port to be
+        # output-faithful.
+        reference_skip_bug=True,
     )
     variables = unet_variables_from_torch_state_dict(blob["state_dict"], cfg)
-    return cfg, variables
+    return cfg, variables, blob.get("hyperparameters")
