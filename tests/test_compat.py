@@ -43,6 +43,20 @@ def tiny_compat_unet():
     return compat.unet(**TINY_KW)
 
 
+def test_hcat_alias_package_is_the_facade():
+    # the repo-root `hcat` package makes the reference's literal import line
+    # (`from hcat import unet, rcnn, analyze` — reference hcat/__init__.py:1-5,
+    # loop_main.py:1-10) resolve to the facade
+    import hcat
+
+    assert hcat.unet is compat.unet
+    assert hcat.rcnn is compat.rcnn
+    assert hcat.analyze is compat.analyze
+    assert hcat.predict_segmentation_mask is compat.predict_segmentation_mask
+    assert hcat.__conectivity__ == compat.__conectivity__
+    assert set(hcat.__all__) == set(compat.__all__)
+
+
 def test_compat_constants_match_reference():
     # hcat/__init__.py:18-30 (same names, same conectivity typo)
     assert compat.__conectivity__ == 1
