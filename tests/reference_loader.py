@@ -5,6 +5,7 @@ here; we stub just enough to import the model files.  Used strictly as a
 numerical oracle — no reference code is executed outside tests.
 """
 
+import contextlib
 import importlib.util
 import sys
 import types
@@ -12,24 +13,47 @@ import types
 REFERENCE = "/root/reference"
 
 
-def _ensure_stub(name, **attrs):
-    if name not in sys.modules:
-        m = types.ModuleType(name)
-        for k, v in attrs.items():
-            setattr(m, k, v)
-        sys.modules[name] = m
-    return sys.modules[name]
+@contextlib.contextmanager
+def _reference_hcat_namespace():
+    """Temporarily make ``hcat``/``hcat.utils`` resolve to oracle stubs.
+
+    The repo ships a REAL ``hcat`` package (the drop-in alias for the
+    facade), so the stubs must not be left in — or found already occupying
+    — ``sys.modules``: whichever side imported first would poison the
+    other.  The reference model files bind everything at module-exec time
+    (top-level imports only), so swapping the namespace just for
+    ``exec_module`` and restoring it afterwards is exact.
+    """
+    saved = {
+        k: v for k, v in sys.modules.items()
+        if k == "hcat" or k.startswith("hcat.")
+    }
+    for k in saved:
+        del sys.modules[k]
+    hc = types.ModuleType("hcat")
+    hc.__path__ = []
+    utils = types.ModuleType("hcat.utils")
+    utils.pad_image_with_reflections = lambda *a, **k: None
+    sys.modules["hcat"] = hc
+    sys.modules["hcat.utils"] = utils
+    try:
+        yield
+    finally:
+        for k in [
+            k for k in sys.modules
+            if k == "hcat" or k.startswith("hcat.")
+        ]:
+            del sys.modules[k]
+        sys.modules.update(saved)
 
 
 def load_reference_module(relpath: str, modname: str):
     """Import e.g. ``hcat/unet.py`` from the reference with stubbed deps."""
-    hc = _ensure_stub("hcat")
-    hc.__path__ = []
-    _ensure_stub("hcat.utils", pad_image_with_reflections=lambda *a, **k: None)
     spec = importlib.util.spec_from_file_location(modname, f"{REFERENCE}/{relpath}")
     mod = importlib.util.module_from_spec(spec)
     sys.modules[modname] = mod
-    spec.loader.exec_module(mod)
+    with _reference_hcat_namespace():
+        spec.loader.exec_module(mod)
     return mod
 
 
