@@ -388,7 +388,8 @@ def analyze(path=None, numchunks: int = 3, save_plots: bool = False,
             volume: Optional[np.ndarray] = None,
             tiles: Optional[TileConfig] = None,
             watershed: Optional[WatershedConfig] = None,
-            fit_cochlea: bool = True):
+            fit_cochlea: bool = True,
+            write_all_cells_pkl: bool = True):
     """``hcat.analyze`` (``hcat/main.py:20-236``) with the reference's
     signature and return contract ``(mask, unique_mask, cell_list)`` —
     masks come back ``[1, 1, X, Y, Z]`` like the reference's
@@ -404,6 +405,11 @@ def analyze(path=None, numchunks: int = 3, save_plots: bool = False,
     reference returns ``cell_list`` — the *last chunk's* cells only
     (``main.py:156,236``; the full list exists there solely as the
     ``all_cells.pkl`` side effect) — which no caller can want.
+
+    Like the reference (``main.py:219``), the full cell list is pickled to
+    ``./all_cells.pkl`` in the current directory — ``loop_main.py:58``
+    depends on it for CSV export.  Pass ``write_all_cells_pkl=False`` to
+    suppress the side effect.
     """
     import jax
 
@@ -436,6 +442,15 @@ def analyze(path=None, numchunks: int = 3, save_plots: bool = False,
         work_dir=path_chunk_storage, save_plots=save_plots,
         fit_cochlea=fit_cochlea,
     )
+    if write_all_cells_pkl:
+        # the reference unconditionally pickles the accumulated cell list
+        # to ./all_cells.pkl in the CURRENT directory (``main.py:219``) —
+        # the batch driver (``loop_main.py:58-59``) chdirs into the
+        # analysis folder first, then reloads this file for CSV export.
+        import pickle
+
+        with open("all_cells.pkl", "wb") as f:
+            pickle.dump(res.cells, f)
     return (
         np.asarray(res.mask)[None, None],
         np.asarray(res.unique_mask)[None, None],

@@ -93,13 +93,20 @@ def _instance_tile_geometry(spatial, host_ram_bytes: Optional[int] = None):
 def _make_device_instance_fn(
     expand_z: int, expand_mask: int, distance_floor: float,
     seed_background_below: float, device_iters: int, compactness: float,
+    edt_on_device: bool = False,
 ):
     """Build (and jit) the device instance-tile program for one config.
 
     Memoized so the TPU backend compiles once per ``(cfg, tile shape)``
     instead of once per *call* — the per-tile recompile was ~131 s
     (BASELINE.md).  Keyed on the scalar config values; jit itself caches per
-    input shape."""
+    input shape.
+
+    ``edt_on_device``: the binary (non-probability-map) path computes the
+    per-z-slice distance transform INSIDE the program
+    (:func:`hcunet_tpu.ops.distance.edt`, Pallas-backed on TPU) instead of
+    shipping a host-precomputed map — ``dist`` is then ignored and derived
+    from ``binm``, removing the host EDT + one f32 tile H2D."""
     import jax
     import jax.numpy as jnp
 
@@ -107,8 +114,7 @@ def _make_device_instance_fn(
 
     E = int(expand_z)
 
-    @jax.jit
-    def run(dist, binm, seeds):
+    def _run(dist, binm, seeds):
         dist_e = jnp.repeat(dist, E, axis=2)
         dist_e = jnp.where(dist_e < distance_floor, 0.0, dist_e)
         mask_e = jnp.repeat(binm, E, axis=2)
@@ -133,30 +139,49 @@ def _make_device_instance_fn(
         )
         return labels[:, :, ::E]
 
-    return run
+    if edt_on_device:
+        from hcunet_tpu.ops.distance import edt
+
+        @jax.jit
+        def run(binm, seeds):
+            # per-z-slice 2D EDT of the foreground, like the reference's
+            # cv2.distanceTransform loop (``hcat/segment.py:433-435``)
+            return _run(edt(binm, axes=(0, 1)), binm, seeds)
+
+        return run
+
+    return jax.jit(_run)
 
 
 _DEVICE_INSTANCE_FNS: Dict[tuple, object] = {}
 
 
 def _device_instance_tile(
-    distance: np.ndarray, binary: np.ndarray, seed_tile: np.ndarray,
+    distance: Optional[np.ndarray], binary: np.ndarray, seed_tile: np.ndarray,
     cfg: WatershedConfig,
 ) -> np.ndarray:
     """One instance tile on the TPU (``backend='device'``): z-replication,
     iterated cross dilation, background seed, and the bounded-iteration
     minimax-path watershed (:func:`hcunet_tpu.ops.watershed_jax.watershed_jax`)
-    — all inside one jit.  Approximate where plateau tie-breaks matter."""
+    — all inside one jit.  Approximate where plateau tie-breaks matter.
+
+    ``distance=None`` (the binary path) computes the per-slice EDT on
+    device too — no host EDT, no distance-tile transfer."""
     import jax.numpy as jnp
 
+    edt_on_device = distance is None
     key = (
         int(cfg.expand_z), int(cfg.expand_mask), float(cfg.distance_floor),
         float(cfg.seed_background_below), int(cfg.device_iters),
-        float(cfg.compactness),
+        float(cfg.compactness), edt_on_device,
     )
     run = _DEVICE_INSTANCE_FNS.get(key)
     if run is None:
         run = _DEVICE_INSTANCE_FNS[key] = _make_device_instance_fn(*key)
+    if edt_on_device:
+        return np.asarray(
+            run(jnp.asarray(binary != 0), jnp.asarray(seed_tile))
+        ).copy()
     return np.asarray(
         run(jnp.asarray(distance), jnp.asarray(binary != 0), jnp.asarray(seed_tile))
     ).copy()
@@ -271,13 +296,19 @@ def generate_unique_segmentation_mask(
                 distance = tile
             else:
                 binary = tile > 0
-                distance = edt_per_slice_host(binary.astype(np.uint8)).astype(
-                    np.float64
-                )
+                if cfg.backend == "device":
+                    # the device program computes the per-slice EDT itself
+                    # (Pallas-backed, ops/distance.py) — skip the host EDT
+                    # and the distance-tile transfer entirely
+                    distance = None
+                else:
+                    distance = edt_per_slice_host(
+                        binary.astype(np.uint8)
+                    ).astype(np.float64)
 
             # seeds only from the trusted interior of the tile
             # (segment.py:440-442)
-            seed_tile = np.zeros_like(distance, dtype=np.int32)
+            seed_tile = np.zeros_like(binary, dtype=np.int32)
             tw, th = x1 - x0, y1 - y0
             wx = min(pad[0] + ev[0], tw) - pad[0]
             wy = min(pad[1] + ev[1], th) - pad[1]
@@ -294,7 +325,8 @@ def generate_unique_segmentation_mask(
                 # geometry matches the exact path away from plateau ties; use
                 # for TPU-resident pipelines where the host hop dominates.
                 labels = _device_instance_tile(
-                    distance.astype(np.float32), binary, seed_tile, cfg
+                    None if distance is None else distance.astype(np.float32),
+                    binary, seed_tile, cfg,
                 )
                 labels[labels == 1] = 0
             elif cfg.backend == "fused":

@@ -49,14 +49,27 @@ def _axis_pass(dist2: jnp.ndarray, axis: int, block: int = 256) -> jnp.ndarray:
     return jnp.moveaxis(outs, -1, axis)
 
 
-@functools.partial(jax.jit, static_argnames=("axes", "block"))
-def edt(binary: jnp.ndarray, axes=None, block: int = 256) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("axes", "block", "use_pallas"))
+def edt(binary: jnp.ndarray, axes=None, block: int = 256,
+        use_pallas: bool | None = None) -> jnp.ndarray:
     """Exact euclidean distance to the nearest zero pixel, over ``axes``.
 
     ``binary``: any float/bool array; nonzero = foreground.  Matches
     ``scipy.ndimage.distance_transform_edt`` over the same axes.
+
+    On a TPU backend the per-axis min-plus pass dispatches to the Pallas
+    kernel (:mod:`hcunet_tpu.ops.pallas.edt`), which keeps each row in VMEM
+    instead of materializing ``[..., block, N]`` cost tensors through HBM
+    (measured 4.8× at the 412²-slice watershed-tile geometry — BASELINE.md
+    kernel verdicts).  ``use_pallas`` overrides the auto dispatch.
     """
     axes = tuple(range(binary.ndim)) if axes is None else tuple(axes)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from hcunet_tpu.ops.pallas.edt import edt_pallas
+
+        return edt_pallas(binary, axes=axes)
     dist2 = jnp.where(jnp.asarray(binary) != 0, _INF, 0.0).astype(jnp.float32)
     for ax in axes:
         dist2 = _axis_pass(dist2, ax, block)

@@ -47,7 +47,15 @@ def test_hcat_alias_package_is_the_facade():
     # the repo-root `hcat` package makes the reference's literal import line
     # (`from hcat import unet, rcnn, analyze` — reference hcat/__init__.py:1-5,
     # loop_main.py:1-10) resolve to the facade
+    import importlib
+
     import hcat
+
+    # any earlier `from hcat.unet import ...` rebinds the package attr to
+    # the submodule — a quirk the REFERENCE package has too (its __init__
+    # binds class over submodule the same way); reload restores the
+    # fresh-interpreter surface this test pins
+    hcat = importlib.reload(hcat)
 
     assert hcat.unet is compat.unet
     assert hcat.rcnn is compat.rcnn
@@ -190,9 +198,11 @@ def test_compat_rcnn_torchvision_contract(tiny_compat_rcnn, rng):
 
 
 def test_compat_segment_chain_and_analyze(tmp_path, tiny_compat_unet,
-                                          tiny_compat_rcnn, rng):
+                                          tiny_compat_rcnn, rng,
+                                          monkeypatch):
     """Chain the facade the way hcat/main.py:83-194 does, then the
     one-call analyze; masks come back [1, 1, X, Y, Z]."""
+    monkeypatch.chdir(tmp_path)  # analyze writes ./all_cells.pkl (main.py:219)
     m = tiny_compat_unet
     image = rng.random((1, 4, 64, 64, 6)).astype(np.float32)
 
@@ -231,6 +241,12 @@ def test_compat_segment_chain_and_analyze(tmp_path, tiny_compat_unet,
     assert mask.shape == (1, 1, 64, 64, 6)
     assert uniq.shape == (1, 1, 64, 64, 6)
     assert isinstance(cell_list, list)
+    # the reference's ./all_cells.pkl side effect (main.py:219) — the batch
+    # driver reloads it for CSV export (loop_main.py:58-59)
+    import pickle
+
+    with open(tmp_path / "all_cells.pkl", "rb") as f:
+        assert len(pickle.load(f)) == len(cell_list)
 
 
 def test_compat_analyze_guards():

@@ -297,3 +297,41 @@ def test_device_backend_agrees_on_clean_scene():
         inter = (a & b).sum()
         union = (a | b).sum()
         assert union > 0 and inter / union > 0.6, f"instance {i} IoU too low"
+
+
+def test_device_backend_binary_path_computes_edt_on_device():
+    """The binary (non-probability-map) device path derives the per-slice
+    distance transform INSIDE the jitted program (ops/distance.edt —
+    Pallas-backed on TPU, VERDICT r4 #5) instead of shipping a host EDT.
+    Instances must agree with the exact fused flood fed the host EDT."""
+    from hcunet_tpu.config import WatershedConfig
+    from hcunet_tpu.infer.instance import generate_unique_segmentation_mask
+
+    rng = np.random.default_rng(7)
+    prob = _instance_scene(rng, (96, 96, 6), 5)
+    semantic = (prob > 2.5).astype(np.uint8)  # binary path: integer dtype
+    boxes = []
+    proj = prob.max(2)
+    for _ in range(5):
+        x, y = np.unravel_index(np.argmax(proj), proj.shape)
+        boxes.append([x - 8, y - 8, x + 8, y + 8])
+        proj[max(0, x - 10): x + 10, max(0, y - 10): y + 10] = 0
+    cand = {
+        "boxes": np.asarray(boxes, np.float32),
+        "scores": np.full(5, 0.9, np.float32),
+        "labels": np.ones(5, np.int32),
+        "z_level": np.full(5, 3.0, np.float32),
+    }
+    exact, _ = generate_unique_segmentation_mask(
+        semantic, cand, WatershedConfig(backend="fused")
+    )
+    dev, _ = generate_unique_segmentation_mask(
+        semantic, cand, WatershedConfig(backend="device")
+    )
+    ids = np.unique(exact)
+    ids = ids[ids > 0]
+    assert len(ids) >= 4
+    for i in ids:
+        a, b = exact == i, dev == i
+        union = (a | b).sum()
+        assert union > 0 and (a & b).sum() / union > 0.6, f"instance {i}"
