@@ -236,6 +236,54 @@ def rdcnet_variables_from_torch_state_dict(sd: Mapping) -> Dict:
     return {"params": params}
 
 
+def rdcnet_state_dict_from_variables(variables: Mapping):
+    """Inverse of :func:`rdcnet_variables_from_torch_state_dict`: emit a
+    torch state_dict for the reference ``RDCNet`` (``hcat/r_unet.py:207-227``)
+    from flax variables — lets weights trained in this framework run under
+    the reference composition for the trained recurrent end-to-end gate
+    (``tests/r_unet_test.py:19-91`` recipe; reference checkpoints are
+    stripped, SURVEY §0)."""
+    import torch
+
+    params = variables["params"]
+
+    def _t(a):
+        return torch.as_tensor(np.asarray(a, np.float32).copy())
+
+    def conv_to_torch(w):  # [*k, Cin, Cout] -> [Cout, Cin, *k]
+        w = np.asarray(w)
+        nd = w.ndim - 2
+        return _t(np.transpose(w, (nd + 1, nd) + tuple(range(nd))))
+
+    def tconv_to_torch(w):  # [*k, Cin, Cout] -> [Cin, Cout, *k]
+        w = np.asarray(w)
+        nd = w.ndim - 2
+        return _t(np.transpose(w, (nd, nd + 1) + tuple(range(nd))))
+
+    blk = params["step"]["rdc_block"]
+    sdil = blk["StackedDilation_0"]
+    sd = {
+        "strided_conv.weight": conv_to_torch(params["in_kernel"]),
+        "strided_conv.bias": _t(params["in_bias"]),
+        "RDCblock.conv.weight": conv_to_torch(blk["squeeze_kernel"]),
+        "RDCblock.conv.bias": _t(blk["squeeze_bias"]),
+        "RDCblock.grouped_conv.out_conv.weight": conv_to_torch(
+            sdil["merge_kernel"]
+        ),
+        "RDCblock.grouped_conv.out_conv.bias": _t(sdil["merge_bias"]),
+        "out_conv.weight": conv_to_torch(params["out_kernel"]),
+        "out_conv.bias": _t(params["out_bias"]),
+        "transposed_conv.weight": tconv_to_torch(params["up_kernel"]),
+        "transposed_conv.bias": _t(params["up_bias"]),
+    }
+    for d in range(1, 6):
+        sd[f"RDCblock.grouped_conv.conv{d}.weight"] = conv_to_torch(
+            sdil[f"conv{d}_kernel"]
+        )
+        sd[f"RDCblock.grouped_conv.conv{d}.bias"] = _t(sdil[f"conv{d}_bias"])
+    return sd
+
+
 def load_reference_unet_file(path: str):
     """Load a reference ``.unet`` checkpoint file →
     ``(UNetConfig, variables, hyperparameters)``.

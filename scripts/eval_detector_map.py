@@ -70,14 +70,26 @@ def scene(rng, hw=(256, 256), n_cells=(6, 12)):
     )
 
 
-def cochlea_scene(rng, hw=(256, 256), clutter=True):
-    """Hardened scene: touching OHC rows + IHC row on an arc, junk clutter."""
+def cochlea_scene(rng, hw=(256, 256), clutter=True, shift=False,
+                  occlude=False):
+    """Hardened scene: touching OHC rows + IHC row on an arc, junk clutter.
+
+    De-saturation knobs (VERDICT r4 #4 — eval distribution disjoint from
+    training):
+
+    * ``shift`` — every generator parameter drawn from ranges DISJOINT
+      from the training ranges: denser rows (cells overlap more), smaller
+      and dimmer cells, 3× the junk, steeper illumination gradient.
+    * ``occlude`` — bright debris blobs pasted DIRECTLY OVER a third of
+      the cells (ground truth unchanged): partial-occlusion stress.
+    """
     H, W = hw
     img = rng.normal(0.15, 0.05, (H, W, 3)).astype(np.float32)
     # smooth illumination gradient (confocal vignetting-ish)
     gy = np.linspace(-1, 1, H, dtype=np.float32)[:, None]
     gx = np.linspace(-1, 1, W, dtype=np.float32)[None, :]
-    a, b = rng.uniform(-0.06, 0.06, 2)
+    grad = 0.06 if not shift else rng.uniform(0.10, 0.16)
+    a, b = rng.uniform(-grad, grad, 2)
     img += (a * gy + b * gx)[..., None]
 
     boxes, labels = [], []
@@ -90,8 +102,11 @@ def cochlea_scene(rng, hw=(256, 256), clutter=True):
     def arc(x):
         return base + amp_y * np.sin(2 * np.pi * freq * x / W + phase)
 
-    r_ohc = rng.uniform(9, 12)
+    r_ohc = rng.uniform(9, 12) if not shift else rng.uniform(7.0, 8.8)
     row_gap = rng.uniform(2.0, 2.4) * r_ohc
+    ohc_amp = (0.5, 0.8) if not shift else (0.32, 0.48)
+    ihc_amp = (0.35, 0.55) if not shift else (0.22, 0.34)
+    ohc_step = (1.9, 2.2) if not shift else (1.6, 1.85)  # denser → overlap
     # three touching OHC rows (cls 1: smaller/brighter)
     x = rng.uniform(4, 2.5 * r_ohc)
     while x < W - 4:
@@ -104,28 +119,43 @@ def cochlea_scene(rng, hw=(256, 256), clutter=True):
             cx = x + rng.normal(0, 0.08 * r)
             if not (r < cy < H - r and r < cx < W - r):
                 continue
-            amp = rng.uniform(0.5, 0.8)
+            amp = rng.uniform(*ohc_amp)
             _add_gauss(img, cy, cx, r, r, 0.0, amp, [0.8, 1.0, 0.9])
             boxes.append([cx - r, cy - r, cx + r, cy + r])
             labels.append(1)
         # touching: next cell ~2r away along the row
-        x += r_ohc * rng.uniform(1.9, 2.2)
+        x += r_ohc * rng.uniform(*ohc_step)
     # one IHC row (cls 2: bigger/dimmer), offset to the other side
     x = rng.uniform(4, 3 * r_ohc)
     while x < W - 4:
-        r = rng.uniform(14, 19)
+        r = rng.uniform(14, 19) if not shift else rng.uniform(11, 13.5)
         cy = arc(x) - 2.2 * row_gap + rng.normal(0, 0.1 * r)
         cx = x + rng.normal(0, 0.1 * r)
         x += r * rng.uniform(2.1, 2.5)
         if not (r < cy < H - r and r < cx < W - r):
             continue
-        amp = rng.uniform(0.35, 0.55)
+        amp = rng.uniform(*ihc_amp)
         _add_gauss(img, cy, cx, r, r, 0.0, amp, [0.8, 1.0, 0.9])
         boxes.append([cx - r, cy - r, cx + r, cy + r])
         labels.append(2)
 
+    if occlude and len(boxes):
+        # debris pasted over ~1/3 of the cells; GT stays — the detector
+        # must find partially hidden cells
+        idx = rng.permutation(len(boxes))[: max(1, len(boxes) // 3)]
+        for i in idx:
+            x1, y1, x2, y2 = boxes[i]
+            cy = 0.5 * (y1 + y2) + rng.normal(0, 3)
+            cx = 0.5 * (x1 + x2) + rng.normal(0, 3)
+            rr = 0.7 * max(x2 - x1, y2 - y1)
+            _add_gauss(img, cy, cx, rr, rr * rng.uniform(0.5, 1.0),
+                       rng.uniform(0, np.pi), rng.uniform(0.35, 0.6),
+                       [1.0, 0.75, 0.65])
+
+    clutter_mult = 3 if shift else 1
     if clutter:  # junk with NO ground truth
-        for _ in range(int(rng.integers(3, 8)) * max(1, (H * W) // 256**2)):
+        for _ in range(int(rng.integers(3, 8)) * clutter_mult
+                       * max(1, (H * W) // 256**2)):
             kind = rng.integers(0, 3)
             cy, cx = rng.uniform(0, H), rng.uniform(0, W)
             if kind == 0:  # large dim debris
@@ -151,10 +181,10 @@ def cochlea_scene(rng, hw=(256, 256), clutter=True):
     )
 
 
-def _evaluate(det, variables, gen, eval_rng, n_scenes, hw, evaluate_detections):
+def _collect(det, variables, gen, eval_rng, n_scenes, hw, **scene_kw):
     preds, gts = [], []
     for _ in range(n_scenes):
-        img, boxes, labels = gen(eval_rng, hw)
+        img, boxes, labels = gen(eval_rng, hw, **scene_kw)
         norm = ((img - 0.5) / 0.5)[None].astype(np.float32)
         out = det.detect(variables, norm)
         valid = np.asarray(out["valid"][0])
@@ -166,7 +196,41 @@ def _evaluate(det, variables, gen, eval_rng, n_scenes, hw, evaluate_detections):
             }
         )
         gts.append({"boxes": boxes, "labels": labels})
+    return preds, gts
+
+
+def _evaluate(det, variables, gen, eval_rng, n_scenes, hw,
+              evaluate_detections, **scene_kw):
+    preds, gts = _collect(det, variables, gen, eval_rng, n_scenes, hw,
+                          **scene_kw)
     return evaluate_detections(preds, gts, iou_thresh=0.5)
+
+
+def _stress_grid(det, variables, gen, n_scenes, hw, evaluate_detections,
+                 tag=""):
+    """De-saturation grid (VERDICT r4 #4): clean / parameter-shift /
+    occlusion scenes, each scored at IoU 0.5 AND 0.75.  One detector pass
+    per condition; both thresholds re-score the same predictions."""
+    rows = []
+    for name, kw, seed in (
+        ("clean", {}, 10_000),
+        ("shift", {"shift": True}, 30_000),
+        ("occlusion", {"occlude": True}, 40_000),
+    ):
+        preds, gts = _collect(
+            det, variables, gen, np.random.default_rng(seed), n_scenes, hw,
+            **kw,
+        )
+        m50 = evaluate_detections(preds, gts, iou_thresh=0.5)
+        m75 = evaluate_detections(preds, gts, iou_thresh=0.75)
+        rows.append((name, m50, m75))
+        print(
+            f"[stress{tag} {name} @{hw[0]}] "
+            f"mAP@0.5 {m50['map']:.3f} recall@0.5 {m50['recall']:.3f} | "
+            f"mAP@0.75 {m75['map']:.3f} recall@0.75 {m75['recall']:.3f}",
+            flush=True,
+        )
+    return rows
 
 
 def main():
@@ -183,6 +247,9 @@ def main():
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--max-detections", type=int, default=0,
                     help="override (default 64, or 500 at eval-hw>=768)")
+    ap.add_argument("--stress", action="store_true",
+                    help="de-saturation grid: clean/shift/occlusion eval "
+                         "scenes at IoU 0.5 and 0.75 (cochlea scene only)")
     args = ap.parse_args()
 
     import jax
@@ -241,6 +308,9 @@ def main():
         f"per-class { {k: round(v['ap'], 3) for k, v in m['per_class'].items()} }",
         flush=True,
     )
+    if args.stress and args.scene == "cochlea":
+        _stress_grid(det, trainer.variables, gen, args.eval_scenes, hw,
+                     evaluate_detections)
     if args.eval_hw:
         # production tile geometry: bigger scenes, more cells, more boxes
         big_cfg = DetectorConfig(
@@ -260,6 +330,12 @@ def main():
             f"per-class { {k: round(v['ap'], 3) for k, v in m['per_class'].items()} }",
             flush=True,
         )
+        if args.stress and args.scene == "cochlea":
+            _stress_grid(
+                big, trainer.variables, gen, max(4, args.eval_scenes // 4),
+                (args.eval_hw, args.eval_hw), evaluate_detections,
+                tag=" production",
+            )
 
 
 if __name__ == "__main__":

@@ -48,12 +48,23 @@ def _reference_hcat_namespace():
 
 
 def load_reference_module(relpath: str, modname: str):
-    """Import e.g. ``hcat/unet.py`` from the reference with stubbed deps."""
+    """Import e.g. ``hcat/unet.py`` from the reference with stubbed deps.
+
+    ``modname`` must not live in the ``hcat`` namespace — the context
+    manager below swaps exactly that namespace, and a caller-supplied
+    ``hcat.*`` name would be deleted-and-restored mid-exec (advisor r4 #3).
+    The registration happens inside the swap and is popped on failure so a
+    raising exec never leaves a half-initialized module cached."""
+    assert modname != "hcat" and not modname.startswith("hcat."), modname
     spec = importlib.util.spec_from_file_location(modname, f"{REFERENCE}/{relpath}")
     mod = importlib.util.module_from_spec(spec)
-    sys.modules[modname] = mod
     with _reference_hcat_namespace():
-        spec.loader.exec_module(mod)
+        sys.modules[modname] = mod
+        try:
+            spec.loader.exec_module(mod)
+        except BaseException:
+            sys.modules.pop(modname, None)
+            raise
     return mod
 
 
