@@ -80,11 +80,18 @@ def _ledger_path() -> str | None:
 
 
 def _load_ledger() -> dict:
+    """Entries: ``{metric: {"s": seconds, "ok": bool}}`` — ``ok`` marks a
+    completed run; a kill records only a lower bound.  Legacy bare floats
+    read as completed."""
     path = _ledger_path()
     if path and os.path.exists(path):
         try:
             with open(path) as f:
-                return json.load(f)
+                raw = json.load(f)
+            return {
+                k: (v if isinstance(v, dict) else {"s": float(v), "ok": True})
+                for k, v in raw.items()
+            }
         except (OSError, ValueError):
             pass
     return {}
@@ -647,11 +654,25 @@ def run(argv=None) -> int:
         return 0
 
     ledger = _load_ledger()
+
+    def _ok_est(m):
+        e = ledger.get(m)
+        return e["s"] if e and e.get("ok") else None
+
     for i, (metric, child_flag, _fn) in enumerate(jobs):
         remaining = deadline - time.monotonic()
         n_left = len(jobs) - i
-        slice_s = remaining / n_left
-        est = ledger.get(metric)
+        fair = remaining / n_left
+        est = _ok_est(metric)
+        # hold back enough for the later metrics' known (or minimum) needs,
+        # so a known-long metric may exceed its fair share when the rest
+        # are known-cheap — and vice versa
+        reserve = sum(
+            min((_ok_est(m) or MIN_SLICE_S) * 1.15, fair)
+            for m, _cf, _f in jobs[i + 1:]
+        )
+        want = est * 1.3 if est is not None else fair
+        slice_s = min(max(fair, want), max(remaining - reserve, 0.0))
         if slice_s < MIN_SLICE_S and (est is None or est > slice_s):
             _emit_skipped(
                 metric,
@@ -667,11 +688,15 @@ def run(argv=None) -> int:
             continue
         ok, dur, rc = _run_metric_child(metric, child_flag, slice_s)
         if ok:
-            ledger[metric] = dur
+            ledger[metric] = {"s": dur, "ok": True}
             _save_ledger(ledger)
         elif rc is None:
-            ledger[metric] = max(dur, ledger.get(metric, 0.0))
-            _save_ledger(ledger)
+            prior = ledger.get(metric)
+            if prior is None or not prior.get("ok"):
+                # a kill is only a lower bound; never clobber a real timing
+                ledger[metric] = {"s": max(dur, (prior or {}).get("s", 0.0)),
+                                  "ok": False}
+                _save_ledger(ledger)
             _emit_skipped(metric, f"killed after {dur:.0f}s slice")
         else:
             print(

@@ -142,7 +142,9 @@ def test_run_all_metrics_within_budget(sched_env, capsys):
         "recurrent_packed_serving",
     ]
     # ledger recorded the observed durations
-    assert bench._load_ledger() == {m: 2.0 for m, _f in ran}
+    assert bench._load_ledger() == {
+        m: {"s": 2.0, "ok": True} for m, _f in ran
+    }
 
 
 def test_run_zero_budget_emits_explicit_skips(sched_env, capsys):
