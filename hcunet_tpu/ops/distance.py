@@ -60,7 +60,7 @@ def edt(binary: jnp.ndarray, axes=None, block: int = 256,
     On a TPU backend the per-axis min-plus pass dispatches to the Pallas
     kernel (:mod:`hcunet_tpu.ops.pallas.edt`), which keeps each row in VMEM
     instead of materializing ``[..., block, N]`` cost tensors through HBM
-    (measured 4.8× at the 412²-slice watershed-tile geometry — BASELINE.md
+    (measured on v5e by ``scripts/probe_edt_device.py`` — see BASELINE.md
     kernel verdicts).  ``use_pallas`` overrides the auto dispatch.
     """
     axes = tuple(range(binary.ndim)) if axes is None else tuple(axes)
