@@ -107,6 +107,41 @@ def _save_ledger(ledger: dict) -> None:
             pass
 
 
+def _cached_variables(tag: str, key_obj, make):
+    """Disk-cache initialized model variables next to the XLA cache.
+
+    On the remote-tunnel TPU, ``model.init`` costs minutes of small-op
+    round trips (measured: production U-Net 105 s, detector@768² 180 s) —
+    pure functions of (config, seed), so repeat bench runs load numpy from
+    disk instead.  ``key_obj`` (stringified + hashed) must capture
+    everything the init depends on."""
+    import hashlib
+
+    from hcunet_tpu.utils.cache import enable_compilation_cache
+
+    root = enable_compilation_cache()
+    path = None
+    if root is not None:
+        h = hashlib.sha1(repr(key_obj).encode()).hexdigest()[:16]
+        path = os.path.join(os.path.dirname(root), f"bench_init_{tag}_{h}.msgpack")
+        if os.path.exists(path):
+            from flax import serialization
+
+            with open(path, "rb") as f:
+                return serialization.msgpack_restore(f.read())
+    variables = make()
+    if path is not None:
+        import jax
+        import numpy as np
+        from flax import serialization
+
+        with open(path, "wb") as f:
+            f.write(serialization.msgpack_serialize(
+                jax.tree.map(lambda x: np.asarray(x), variables)
+            ))
+    return variables
+
+
 def _timed_reps(fn, deadline=None, max_reps: int = 3):
     """Best-of-``max_reps`` timing that degrades to best-of-1 when the soft
     ``deadline`` (time.monotonic seconds) approaches.  Returns
@@ -212,17 +247,21 @@ def main():
 
     enable_compilation_cache()
 
-    from hcunet_tpu.config import TileConfig, UNetConfig
+    from hcunet_tpu.config import TileConfig, UNetConfig, config_to_dict
     from hcunet_tpu.infer.tiling import predict_segmentation_mask
-    from hcunet_tpu.models.unet import init_unet
+    from hcunet_tpu.models.unet import UNet, init_unet
 
     # Whole-cochlea scale (the reference's production images are multi-GVx;
     # 2304^2 x 15 = 79.6 MVx amortizes the remote-dispatch latency).
     shape = (2304, 2304, 15)
     cfg = UNetConfig.production_3d()
-    model, variables = init_unet(
-        cfg, jax.random.PRNGKey(0), input_spatial=(140, 140, 10),
-        dtype=jnp.bfloat16,
+    model = UNet(cfg, dtype=jnp.bfloat16)
+    variables = _cached_variables(
+        "unet3d", (config_to_dict(cfg), 0, (140, 140, 10), "bf16"),
+        lambda: init_unet(
+            cfg, jax.random.PRNGKey(0), input_spatial=(140, 140, 10),
+            dtype=jnp.bfloat16,
+        )[1],
     )
     if "--plain" in sys.argv:
         apply_fn = jax.tree_util.Partial(
@@ -408,7 +447,10 @@ def recurrent_main():
     x = jax.random.normal(
         jax.random.PRNGKey(0), (1, 256, 256, 10, cfg.in_channels), jnp.float32
     )
-    variables = model.init(jax.random.PRNGKey(1), x[:, :32, :32], train=False)
+    variables = _cached_variables(
+        "runet", (repr(cfg), 1, "bf16"),
+        lambda: model.init(jax.random.PRNGKey(1), x[:, :32, :32], train=False),
+    )
     apply_fn = jax.jit(
         compile_recurrent_apply(
             model, variables, dtype=jnp.bfloat16, split_x=4
@@ -445,26 +487,35 @@ def pipeline_main():
 
     enable_compilation_cache()
 
-    from hcunet_tpu.config import PipelineConfig, UNetConfig, auto_tile_config
+    from hcunet_tpu.config import (
+        PipelineConfig, UNetConfig, auto_tile_config, config_to_dict,
+    )
     from hcunet_tpu.infer.compile import compile_serving_apply
     from hcunet_tpu.infer.pipeline import analyze
     from hcunet_tpu.models.detection import Detector
-    from hcunet_tpu.models.unet import init_unet
+    from hcunet_tpu.models.unet import UNet, init_unet
 
     shape = (1536, 1536, 12)
     vol, truth = _blob_scene(*shape, n_cells=160)
 
     ucfg = UNetConfig.production_3d()
-    model, variables = init_unet(
-        ucfg, jax.random.PRNGKey(0), input_spatial=(140, 140, 10),
-        dtype=jnp.bfloat16,
+    model = UNet(ucfg, dtype=jnp.bfloat16)
+    variables = _cached_variables(
+        "unet3d", (config_to_dict(ucfg), 0, (140, 140, 10), "bf16"),
+        lambda: init_unet(
+            ucfg, jax.random.PRNGKey(0), input_spatial=(140, 140, 10),
+            dtype=jnp.bfloat16,
+        )[1],
     )
     variables = _fit_unet_to_scene(model, variables, vol, truth)
     unet_apply = jax.tree_util.Partial(
         compile_serving_apply(model, variables, dtype=jnp.bfloat16)
     )
     det = Detector(dtype=jnp.bfloat16)
-    det_vars = det.init(jax.random.PRNGKey(1), (shape[0] // 2, shape[1] // 2))
+    det_vars = _cached_variables(
+        "detector", (1, (shape[0] // 2, shape[1] // 2), "bf16", "default"),
+        lambda: det.init(jax.random.PRNGKey(1), (shape[0] // 2, shape[1] // 2)),
+    )
 
     # 2 B/voxel device→host transfer is the measured throughput lever
     # (BASELINE.md r3/r4); the library default is exact float32, the bench
@@ -557,10 +608,14 @@ def _select_jobs(argv):
         if flag in argv and all(m != metric for m, _cf, _fn in jobs):
             jobs.append((metric, child_flag, fn))
     if not jobs:
+        # cheap, stable metrics first; the end-to-end pipeline LAST so it
+        # inherits all remaining budget — its duration is the most exposed
+        # to tunnel weather (analyze passes are link-bound), and a late
+        # kill then costs nothing but its own slice
         jobs = [
             ("tiled_unet3d_inference", "--headline", main),
-            ("analyze_pipeline_end_to_end", "--pipeline", pipeline_main),
             ("recurrent_packed_serving", "--recurrent", recurrent_main),
+            ("analyze_pipeline_end_to_end", "--pipeline", pipeline_main),
         ]
     return jobs
 
