@@ -220,24 +220,17 @@ def test_peak_local_max_basic():
     assert one.shape == (1, 2)
 
 
-def test_pallas_edt_matches_scipy(rng):
-    """Pallas min-plus EDT kernel (interpret mode on CPU) vs scipy."""
-    from hcunet_tpu.ops.pallas.edt import edt_pallas
-
-    binary = (rng.random((33, 41)) > 0.7).astype(np.float32)
-    binary[0, 0] = 0
-    got = np.asarray(edt_pallas(binary, interpret=True))
-    want = ndi.distance_transform_edt(binary != 0)
-    np.testing.assert_allclose(got, want, atol=1e-3)
-
-
-def test_pallas_edt_3d_slices(rng):
-    from hcunet_tpu.ops.distance import edt_per_slice_host
-    from hcunet_tpu.ops.pallas.edt import edt_pallas
+def test_edt_3d_per_slice_matches_host(rng):
+    """The device EDT over axes (0, 1) == the host per-slice exact EDT —
+    the contract the device instance backend relies on when it computes
+    the binary-path distance transform on device (infer/instance.py).
+    A hand-written Pallas variant of this pass was measured at 0.47–0.64×
+    XLA and retired (scripts/probe_edt_device.py keeps it reproducible)."""
+    from hcunet_tpu.ops.distance import edt, edt_per_slice_host
 
     vol = (rng.random((20, 22, 3)) > 0.6).astype(np.float32)
     vol[0, 0, :] = 0
-    got = np.asarray(edt_pallas(vol, axes=(0, 1), interpret=True))
+    got = np.asarray(edt(vol, axes=(0, 1)))
     np.testing.assert_allclose(got, edt_per_slice_host(vol), atol=1e-3)
 
 
