@@ -163,6 +163,13 @@ def _match_instances(a: np.ndarray, b: np.ndarray):
     return pairs
 
 
+@pytest.fixture(autouse=True)
+def cpu_cuda_shim(monkeypatch):
+    # the reference hardcodes .cuda() in its recurrent forwards
+    # (r_unet.py:141,152,223); identity-shim it for cpu torch
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+
+
 @pytest.mark.slow
 def test_rdcnet_trained_instance_gate():
     rng = np.random.default_rng(0)
@@ -183,10 +190,24 @@ def test_rdcnet_trained_instance_gate():
     # --- this framework's serving composition ---
     from hcunet_tpu.infer.compile_recurrent import compile_rdcnet_apply
 
+    # Two reference-internal inconsistencies must be bridged for the
+    # composition to function, identically on both sides:
+    # (a) the training target is SHAPE-NORMALIZED (VectorToCenter divides
+    #     by the volume shape, train_utils.py:270-272) while
+    #     pixel_vec_to_cell votes in PIXEL coordinates (segment.py:590-592
+    #     adds raw channels to integer indices) → de-normalize;
+    # (b) the target's sign is pixel−center (train_utils.py:265-268:
+    #     ``z_vec = -com[0] + z``) while the clustering ADDS the prediction
+    #     to the pixel index — voting at 2p−c, away from the center →
+    #     negate, so votes land ON the centers.
+    # The reference never runs this composition end-to-end (r_unet_test.py
+    # reviews channel images by eye); the gate needs it functional.
+    denorm = np.asarray([-Z, -Y, -X], np.float32)
+
     apply_fn = compile_rdcnet_apply(model, trained, dtype=jnp.float32)
     out_jax = np.asarray(apply_fn(jnp.asarray(img)))[0]  # [X, Y, Z, 5]
     prob_jax = 1.0 / (1.0 + np.exp(-out_jax[..., 0]))
-    labels_jax = pixel_vec_to_cell(out_jax[..., 2:], prob_jax)
+    labels_jax = pixel_vec_to_cell(out_jax[..., 2:] * denorm, prob_jax)
 
     # --- the torch reference composition on the SAME trained weights ---
     net.load_state_dict(rdcnet_state_dict_from_variables(trained))
@@ -196,7 +217,7 @@ def test_rdcnet_trained_instance_gate():
         out_t = net(xt.float())
     out_torch = np.moveaxis(out_t.numpy(), 1, -1)[0]
     prob_torch = 1.0 / (1.0 + np.exp(-out_torch[..., 0]))
-    labels_torch = pixel_vec_to_cell(out_torch[..., 2:], prob_torch)
+    labels_torch = pixel_vec_to_cell(out_torch[..., 2:] * denorm, prob_torch)
 
     # forward parity on the trained weights (packed serving vs torch)
     np.testing.assert_allclose(out_jax, out_torch, atol=2e-3, rtol=2e-3)
