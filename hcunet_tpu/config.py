@@ -216,6 +216,12 @@ class PipelineConfig:
     #   range: 2 B/voxel, max abs error prob_scale/(2·65535) ≈ 7.6e-5
     #   (≈7.6e-6 in probability units — below any watershed-relevant
     #   precision; dominates bfloat16 at identical bytes).  Preferred.
+    # * "uint8" — 1 B/voxel, max abs error prob_scale/510 ≈ 0.0196
+    #   (≈2e-3 in probability units).  At the characterized link the
+    #   remaining prob_d2h (1208 MB/production run) halves again: ~35 s
+    #   off the 187 s serialized-link floor ≈ 19% steady-state — worth it
+    #   only when that quantization is acceptable for the study; cells
+    #   within ~2e-3 probability of a threshold can flip.
     # * "bfloat16" — 2 B/voxel, ~3 significant digits (~2e-3 rel near 1.0).
     #   Kept for round-3 measurement lineage.
     # Opt in for throughput-sensitive deployments (the bench and the

@@ -382,10 +382,14 @@ def analyze(
 
     import functools
 
-    @functools.partial(jax.jit, static_argnums=(1,))
-    def _encode_u16(prob, scale):
-        q = jnp.clip(prob * (65535.0 / scale), 0.0, 65535.0)
-        return jnp.round(q).astype(jnp.uint16)
+    @functools.partial(jax.jit, static_argnums=(1, 2))
+    def _encode_fixed(prob, scale, bits):
+        # fixed-point encode over the epilogue's static [0, scale] range:
+        # uint16 (2 B/voxel, max err scale/131070) or uint8 (1 B/voxel,
+        # max err scale/510) — the d2h link is the binding constraint
+        qmax = float(2 ** bits - 1)
+        q = jnp.clip(prob * (qmax / scale), 0.0, qmax)
+        return jnp.round(q).astype(jnp.uint16 if bits == 16 else jnp.uint8)
 
     @jax.jit
     def _normalize_dev(raw):
@@ -449,13 +453,17 @@ def analyze(
                 )
             if cfg.prob_transfer_dtype == "bfloat16":
                 prob_dev = prob_dev.astype(jnp.bfloat16)
-            elif cfg.prob_transfer_dtype == "uint16":
+            elif cfg.prob_transfer_dtype in ("uint16", "uint8"):
                 # fixed-point over the epilogue's static [0, prob_scale]
-                # range: same 2 B/voxel as bf16, ~260× finer quantization
-                # (max abs error prob_scale/131070); decoded in
-                # _collect_chunk.  The d2h link is the pipeline's binding
-                # constraint on a remote tunnel (BASELINE.md).
-                prob_dev = _encode_u16(prob_dev, cfg.prob_scale)
+                # range (uint16: 2 B/voxel like bf16 but ~260× finer, max
+                # abs error prob_scale/131070; uint8: 1 B/voxel, max
+                # prob_scale/510); decoded in _collect_chunk.  The d2h
+                # link is the pipeline's binding constraint on a remote
+                # tunnel (BASELINE.md).
+                prob_dev = _encode_fixed(
+                    prob_dev, cfg.prob_scale,
+                    16 if cfg.prob_transfer_dtype == "uint16" else 8,
+                )
             try:  # start the device→host copy as soon as the program ends
                 prob_dev.copy_to_host_async()
             except Exception:
@@ -473,11 +481,14 @@ def analyze(
         with _staged("unet"):
             _count_bytes("prob_d2h", _nbytes(prob_dev))
             raw_prob, raw_scale = None, None
-            if cfg.prob_transfer_dtype == "uint16":
+            if cfg.prob_transfer_dtype in ("uint16", "uint8"):
                 # keep the raw fixed-point map: the spill stores it at the
-                # link's 2 B/voxel instead of re-inflating to float32
+                # link's width (2 or 1 B/voxel) instead of re-inflating to
+                # float32
                 raw_prob = np.asarray(prob_dev)[0, ..., 0]
-                raw_scale = cfg.prob_scale / 65535.0
+                raw_scale = cfg.prob_scale / (
+                    65535.0 if cfg.prob_transfer_dtype == "uint16" else 255.0
+                )
                 prob = raw_prob.astype(np.float32)
                 prob *= np.float32(raw_scale)
             else:
