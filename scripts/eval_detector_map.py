@@ -250,6 +250,10 @@ def main():
     ap.add_argument("--stress", action="store_true",
                     help="de-saturation grid: clean/shift/occlusion eval "
                          "scenes at IoU 0.5 and 0.75 (cochlea scene only)")
+    ap.add_argument("--label-noise", action="store_true",
+                    help="annotation-noise training stress: 10%% of GT "
+                         "boxes dropped, ±5%%-of-size corner jitter, 5%% "
+                         "class flips — training only; eval stays clean")
     args = ap.parse_args()
 
     import jax
@@ -289,6 +293,19 @@ def main():
     t0 = time.perf_counter()
     for i in range(args.steps):
         img, boxes, labels = gen(rng, hw)
+        if args.label_noise and len(boxes):
+            # the kind of noise real manual VOC annotation carries
+            keep = rng.random(len(boxes)) > 0.10
+            boxes, labels = boxes[keep], labels[keep]
+            if len(boxes):
+                wh = np.stack(
+                    [boxes[:, 2] - boxes[:, 0], boxes[:, 3] - boxes[:, 1]], 1
+                )
+                boxes = boxes + rng.normal(0, 0.05, boxes.shape) * np.concatenate(
+                    [wh, wh], 1
+                )
+                flip = rng.random(len(labels)) < 0.05
+                labels = np.where(flip, 3 - labels, labels).astype(np.int32)
         if len(boxes) == 0:
             continue
         norm = ((img - 0.5) / 0.5)[None]
